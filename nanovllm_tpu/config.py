@@ -1,0 +1,145 @@
+"""Engine + model configuration.
+
+Unlike the reference (`/root/reference/nanovllm/config.py:9-38`), which
+piggybacks runtime options onto the HuggingFace config object (documented
+there as a pitfall), runtime config here is first-class: `Config` owns the
+engine knobs and an explicit `ModelConfig` describes the architecture. Model
+code never sees a mutated third-party object.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+
+@dataclass
+class ModelConfig:
+    """Architecture description (subset of HF config.json for Qwen3-style models)."""
+
+    architecture: str = "Qwen3ForCausalLM"
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_hidden_layers: int = 28
+    num_attention_heads: int = 16
+    num_key_value_heads: int = 8
+    head_dim: int = 128
+    vocab_size: int = 151936
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+    max_position_embeddings: int = 40960
+    tie_word_embeddings: bool = True
+    attention_bias: bool = False
+    # Per-head q/k RMSNorm (the Qwen3 speciality, reference models/qwen3.py:96-97).
+    qk_norm: bool = True
+    eos_token_id: int = 151645
+    bos_token_id: int = 151643
+
+    @property
+    def num_q_per_kv(self) -> int:
+        return self.num_attention_heads // self.num_key_value_heads
+
+    @staticmethod
+    def from_hf_dir(path: str) -> "ModelConfig":
+        with open(os.path.join(path, "config.json")) as f:
+            hf = json.load(f)
+        return ModelConfig.from_hf_dict(hf)
+
+    @staticmethod
+    def from_hf_dict(hf: dict) -> "ModelConfig":
+        eos = hf.get("eos_token_id", 151645)
+        if isinstance(eos, list):
+            eos = eos[0]
+        head_dim = hf.get("head_dim") or (
+            hf["hidden_size"] // hf["num_attention_heads"]
+        )
+        return ModelConfig(
+            architecture=(hf.get("architectures") or ["Qwen3ForCausalLM"])[0],
+            hidden_size=hf["hidden_size"],
+            intermediate_size=hf["intermediate_size"],
+            num_hidden_layers=hf["num_hidden_layers"],
+            num_attention_heads=hf["num_attention_heads"],
+            num_key_value_heads=hf.get(
+                "num_key_value_heads", hf["num_attention_heads"]
+            ),
+            head_dim=head_dim,
+            vocab_size=hf["vocab_size"],
+            rms_norm_eps=hf.get("rms_norm_eps", 1e-6),
+            rope_theta=hf.get("rope_theta", 10000.0),
+            max_position_embeddings=hf.get("max_position_embeddings", 32768),
+            tie_word_embeddings=hf.get("tie_word_embeddings", False),
+            attention_bias=hf.get("attention_bias", False),
+            qk_norm="Qwen3" in (hf.get("architectures") or ["Qwen3"])[0],
+            eos_token_id=eos,
+            bos_token_id=hf.get("bos_token_id", 151643),
+        )
+
+
+ATTN_BACKENDS = ("pallas", "ref")
+
+
+@dataclass
+class Config:
+    """Engine configuration (reference: nanovllm/config.py:9-38, rebuilt TPU-first).
+
+    `kvcache_block_size` is the paged-KV page size in tokens. The reference
+    fixes 256 (CUDA-friendly); on TPU smaller pages (multiples of the 16-row
+    bf16 sublane tile) give the decode kernel finer-grained streaming, so the
+    default is 64.
+    """
+
+    model: str = ""
+    max_num_batched_tokens: int = 8192
+    max_num_seqs: int = 256
+    max_model_len: int = 4096
+    hbm_utilization: float = 0.9
+    tensor_parallel_size: int = 1
+    enforce_eager: bool = False
+    kvcache_block_size: int = 64
+    num_kvcache_blocks: int = -1
+    attn_backend: str = "pallas"
+    dtype: str = "bfloat16"
+    kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8
+    quant: str = "none"            # none | int8 | int4 (weight-only)
+    # "random" initializes weights from a PRNG instead of loading safetensors
+    # (lets benches run without model files on disk).
+    load_format: str = "auto"      # auto | safetensors | random
+    seed: int = 0
+    eos: int = -1
+    model_config: ModelConfig | None = None
+
+    def __post_init__(self):
+        assert self.attn_backend in ATTN_BACKENDS, (
+            f"attn_backend must be one of {ATTN_BACKENDS}, got {self.attn_backend!r}"
+        )
+        assert self.kvcache_block_size % 16 == 0, (
+            "kvcache_block_size must be a multiple of 16 (TPU bf16 sublane tile)"
+        )
+        assert 1 <= self.tensor_parallel_size <= 64
+        assert self.quant in ("none", "int8", "int4")
+        assert self.kv_cache_dtype in ("auto", "bfloat16", "float32", "int8")
+        if self.model_config is None:
+            if self.model and os.path.isdir(self.model):
+                self.model_config = ModelConfig.from_hf_dir(self.model)
+            else:
+                self.model_config = ModelConfig()
+        mc = self.model_config
+        self.max_model_len = min(self.max_model_len, mc.max_position_embeddings)
+        assert self.max_num_batched_tokens >= self.max_model_len, (
+            "a single max-length prompt must fit in one prefill batch"
+        )
+        if self.eos < 0:
+            self.eos = mc.eos_token_id
+        assert mc.num_key_value_heads % self.tensor_parallel_size == 0 or \
+            self.tensor_parallel_size % mc.num_key_value_heads == 0, (
+            "tensor_parallel_size must divide (or be divisible by) num_key_value_heads"
+        )
+
+    @property
+    def pages_per_seq(self) -> int:
+        return cdiv(self.max_model_len, self.kvcache_block_size)
+
+
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)

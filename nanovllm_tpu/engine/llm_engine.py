@@ -1,0 +1,116 @@
+"""Top-level engine: tokenizer, scheduler, runner orchestration.
+
+Reference: nanovllm/engine/llm_engine.py:17-143. Differences:
+- No process spawning / SHM control plane: the TPU runtime is a single SPMD
+  program (SURVEY §5.8); `exit()` is a no-op kept for API parity.
+- `step()` returns (outputs, StepStats) instead of sign-encoding prefill vs
+  decode in an int (SURVEY §2.5).
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import fields
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.model_runner import ModelRunner
+from nanovllm_tpu.engine.scheduler import Scheduler, StepStats
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.sampling_params import SamplingParams
+
+logger = logging.getLogger("nanovllm_tpu")
+
+
+class LLMEngine:
+    def __init__(self, model: str = "", **kwargs):
+        config_fields = {f.name for f in fields(Config)}
+        config_kwargs = {k: v for k, v in kwargs.items() if k in config_fields}
+        unknown = set(kwargs) - config_fields
+        if unknown:
+            raise TypeError(f"unknown engine arguments: {sorted(unknown)}")
+        self.config = Config(model=model, **config_kwargs)
+
+        self.tokenizer = None
+        if model:
+            from transformers import AutoTokenizer
+            self.tokenizer = AutoTokenizer.from_pretrained(model)
+            if self.tokenizer.eos_token_id is not None:
+                self.config.eos = self.tokenizer.eos_token_id
+
+        self.model_runner = ModelRunner(self.config)
+        # Runner resolves num_kvcache_blocks from the HBM budget first.
+        self.scheduler = Scheduler(self.config)
+
+    def exit(self):  # API parity with the reference (llm_engine.py:47-60)
+        pass
+
+    def add_request(self, prompt, sampling_params: SamplingParams | None = None):
+        if isinstance(prompt, str):
+            assert self.tokenizer is not None, (
+                "string prompts require a tokenizer (construct with a model path)"
+            )
+            prompt = self.tokenizer.encode(prompt)
+        seq = Sequence(prompt, sampling_params,
+                       block_size=self.config.kvcache_block_size)
+        self.scheduler.add(seq)
+        return seq.seq_id
+
+    def step(self) -> tuple[list[tuple[int, list[int]]], StepStats]:
+        seqs, stats = self.scheduler.schedule()
+        if not seqs:
+            # Liveness edge: the sole runnable seq preempted itself
+            # (reference scheduler.py:78-82 assert) — nothing ran this step;
+            # the next step re-admits it from `waiting`.
+            return [], stats
+        token_ids = self.model_runner.run(seqs, stats.is_prefill)
+        finished = self.scheduler.postprocess(seqs, token_ids)
+        outputs = [(seq.seq_id, seq.completion_token_ids) for seq in finished]
+        return outputs, stats
+
+    def is_finished(self) -> bool:
+        return self.scheduler.is_finished()
+
+    def generate(self, prompts, sampling_params=None, use_tqdm: bool = True):
+        """prompts: list of strings or token-id lists. Returns a list of
+        {"text", "token_ids"} in submission order."""
+        if sampling_params is None:
+            sampling_params = SamplingParams()
+        if not isinstance(sampling_params, list):
+            sampling_params = [sampling_params] * len(prompts)
+        pbar = None
+        if use_tqdm:
+            from tqdm.auto import tqdm
+            pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
+
+        seq_ids = [self.add_request(p, sp)
+                   for p, sp in zip(prompts, sampling_params)]
+        order = {sid: i for i, sid in enumerate(seq_ids)}
+        outputs: dict[int, list[int]] = {}
+        prefill_tput = decode_tput = 0.0
+        while not self.is_finished():
+            t0 = time.perf_counter()
+            done, stats = self.step()
+            dt = time.perf_counter() - t0
+            if stats.num_scheduled_tokens:
+                if stats.is_prefill:
+                    prefill_tput = stats.num_scheduled_tokens / dt
+                else:
+                    decode_tput = stats.num_scheduled_tokens / dt
+            for sid, token_ids in done:
+                outputs[sid] = token_ids
+                if pbar:
+                    pbar.set_postfix({
+                        "prefill": f"{int(prefill_tput)}tok/s",
+                        "decode": f"{int(decode_tput)}tok/s"})
+                    pbar.update(1)
+        if pbar:
+            pbar.close()
+        result = []
+        for sid in seq_ids:
+            token_ids = outputs[sid]
+            text = (self.tokenizer.decode(token_ids, skip_special_tokens=True)
+                    if self.tokenizer else "")
+            result.append({"text": text, "token_ids": token_ids})
+        del order
+        return result

