@@ -1,0 +1,83 @@
+"""Fixed-length throughput benchmark (reference: bench.py — de-randomized
+64 × 1024in/1024out workload, README.md:59-60).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is against the reference's published flash-attn number for the
+same workload (4085.22 tok/s, README.md:110-120 — unnamed cloud GPU, so a
+cross-hardware ratio; see BASELINE.md row 2).
+
+Runs with random-initialized Qwen3-0.6B-shaped weights when no model files
+exist (throughput does not depend on weight values)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+
+from nanovllm_tpu import LLM, SamplingParams
+from nanovllm_tpu.config import ModelConfig
+
+BASELINE_FLASH_TOKS = 4085.22  # reference bench.py flash backend, 64x1024/1024
+
+QWEN3_0_6B = ModelConfig(
+    hidden_size=1024, intermediate_size=3072, num_hidden_layers=28,
+    num_attention_heads=16, num_key_value_heads=8, head_dim=128,
+    vocab_size=151936, rope_theta=1000000.0, max_position_embeddings=40960,
+    tie_word_embeddings=True,
+)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default=os.environ.get("NANOVLLM_MODEL", ""))
+    p.add_argument("--num-seqs", type=int, default=64)
+    p.add_argument("--input-len", type=int, default=1024)
+    p.add_argument("--output-len", type=int, default=1024)
+    p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
+    p.add_argument("--max-model-len", type=int, default=None)
+    args = p.parse_args()
+
+    max_model_len = args.max_model_len or (args.input_len + args.output_len)
+    llm = LLM(
+        args.model,
+        model_config=None if args.model else QWEN3_0_6B,
+        max_model_len=max_model_len,
+        max_num_batched_tokens=max(8192, max_model_len),
+        max_num_seqs=min(args.num_seqs, 256),
+        attn_backend=args.attn_backend,
+        load_format="auto" if args.model else "random",
+    )
+
+    rng = np.random.default_rng(0)
+    vocab = llm.config.model_config.vocab_size
+    prompts = [rng.integers(0, vocab, size=args.input_len).tolist()
+               for _ in range(args.num_seqs)]
+    sp = SamplingParams(temperature=0.6, max_tokens=args.output_len,
+                        ignore_eos=True)
+
+    # Warmup: compiles the prefill/decode buckets (CUDA-graph-capture
+    # equivalent), excluded from timing like the reference's warmup generate.
+    llm.generate([prompts[0][:args.input_len]],
+                 SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False)
+
+    t0 = time.perf_counter()
+    llm.generate(prompts, sp, use_tqdm=True)
+    dt = time.perf_counter() - t0
+
+    total_out = args.num_seqs * args.output_len  # output-only, like reference
+    toks = total_out / dt
+    print(json.dumps({
+        "metric": f"decode tok/s Qwen3-0.6B {args.num_seqs}x{args.input_len}/"
+                  f"{args.output_len} {args.attn_backend}",
+        "value": round(toks, 2),
+        "unit": "tok/s",
+        "vs_baseline": round(toks / BASELINE_FLASH_TOKS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

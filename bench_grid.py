@@ -1,0 +1,83 @@
+"""Backend crossover grid benchmark (reference: bench_my.py — backends x
+batch-sizes x input-lens, output_len = input_len, decode-only tok/s, OOM
+cells caught and tabulated)."""
+
+from __future__ import annotations
+
+import argparse
+import gc
+import json
+import time
+
+import numpy as np
+
+from nanovllm_tpu import LLM, SamplingParams
+from bench import QWEN3_0_6B
+
+
+def run_cell(llm, bs: int, input_len: int) -> float | None:
+    rng = np.random.default_rng(0)
+    vocab = llm.config.model_config.vocab_size
+    prompts = [rng.integers(0, vocab, size=input_len).tolist()
+               for _ in range(bs)]
+    sp = SamplingParams(temperature=0.0, max_tokens=input_len, ignore_eos=True)
+    try:
+        t0 = time.perf_counter()
+        llm.generate(prompts, sp, use_tqdm=False)
+        dt = time.perf_counter() - t0
+        return bs * input_len / dt
+    except Exception as e:  # XLA OOM surfaces as RuntimeError
+        if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
+            return None
+        raise
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model", default="")
+    p.add_argument("--backends", nargs="+", default=["pallas", "ref"])
+    p.add_argument("--batch-sizes", nargs="+", type=int, default=[16, 32, 64])
+    p.add_argument("--input-lens", nargs="+", type=int,
+                   default=[512, 1024, 2048])
+    args = p.parse_args()
+
+    max_len = 2 * max(args.input_lens)
+    results: dict[str, dict] = {}
+    for backend in args.backends:
+        llm = LLM(
+            args.model,
+            model_config=None if args.model else QWEN3_0_6B,
+            max_model_len=max_len,
+            max_num_batched_tokens=max(8192, max_len),
+            max_num_seqs=max(args.batch_sizes),
+            attn_backend=backend,
+            load_format="auto" if args.model else "random",
+        )
+        llm.generate([[1] * 16], SamplingParams(max_tokens=2, ignore_eos=True),
+                     use_tqdm=False)  # warmup (the short-prompt bug path)
+        for bs in args.batch_sizes:
+            for ln in args.input_lens:
+                tput = run_cell(llm, bs, ln)
+                results[f"{backend}/{bs}/{ln}"] = (
+                    None if tput is None else round(tput, 1))
+                print(f"{backend:8s} bs={bs:<4d} len={ln:<6d} "
+                      f"{'OOM' if tput is None else f'{tput:9.1f} tok/s'}",
+                      flush=True)
+        del llm
+        gc.collect()
+
+    print("\n=== decode tok/s (output-only), rows=batch, cols=len ===")
+    for backend in args.backends:
+        print(f"\n[{backend}]")
+        header = "batch | " + " | ".join(f"{l:>9d}" for l in args.input_lens)
+        print(header)
+        print("-" * len(header))
+        for bs in args.batch_sizes:
+            cells = [results[f"{backend}/{bs}/{l}"] for l in args.input_lens]
+            print(f"{bs:5d} | " + " | ".join(
+                f"{'OOM':>9s}" if c is None else f"{c:9.1f}" for c in cells))
+    print(json.dumps({"grid": results}))
+
+
+if __name__ == "__main__":
+    main()

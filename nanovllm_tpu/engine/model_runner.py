@@ -151,9 +151,9 @@ class ModelRunner:
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
-        is_prefill, t, s, pk = key
+        is_prefill, t, s, qmax, pk = key
         mc = self.mc
-        attn_fn = self._attn_fn(is_prefill, t if is_prefill else 1, pk)
+        attn_fn = self._attn_fn(is_prefill, qmax, pk)
 
         def step(params, kv_cache, meta: BatchMeta, rng):
             logits, kv_cache = qwen3.forward(params, mc, kv_cache, meta,
@@ -168,24 +168,24 @@ class ModelRunner:
 
     def bucket_key(self, seqs, is_prefill: bool):
         cfg = self.config
+        max_pages = max(s2.num_blocks for s2 in seqs)
+        pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
         if is_prefill:
             total_new = sum(len(s) - s.num_cached_tokens for s in seqs)
             t = min(next_pow2(total_new, 128), next_pow2(cfg.max_num_batched_tokens))
             s = min(next_pow2(len(seqs)), next_pow2(cfg.max_num_seqs))
-            max_pages = max(s2.num_blocks for s2 in seqs)
-            pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
-            return (True, t, s, pk)
+            qmax = min(next_pow2(max(len(s2) - s2.num_cached_tokens
+                                     for s2 in seqs)), t)
+            return (True, t, s, qmax, pk)
         s = min(next_bucket(len(seqs), DECODE_BUCKETS),
                 next_pow2(cfg.max_num_seqs))
-        max_pages = max(s2.num_blocks for s2 in seqs)
-        pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
-        return (False, s, s, pk)
+        return (False, s, s, 1, pk)
 
     # --------------------------------------------------------------- run
     def run(self, seqs, is_prefill: bool) -> list[int]:
         cfg = self.config
         key = self.bucket_key(seqs, is_prefill)
-        _, t, s, pk = key
+        _, t, s, _, _ = key
         if is_prefill:
             raw = build_prefill_meta(seqs, t, s, cfg.kvcache_block_size,
                                      cfg.pages_per_seq, self.num_slots)

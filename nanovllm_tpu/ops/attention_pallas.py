@@ -1,15 +1,188 @@
-"""Pallas paged-attention backend (ragged varlen prefill + paged decode).
+"""Pallas paged-attention backend.
 
-Placeholder delegating to the XLA reference backend until the kernels land.
+TPU-native re-design of the reference's from-scratch Triton backend
+(nanovllm/layers/attention_triton.py): the paged decode kernel streams
+block-table-indexed KV pages HBM→VMEM with double-buffered async DMA and an
+online softmax (the capability of attention_triton.py:235-343, but tile-wise
+DMA streaming instead of scalar per-token loads), and the decode grid packs
+all KV heads of a sequence into one program so every chunk issues
+2*Hkv*pages_per_chunk concurrent page DMAs — decode attention is
+HBM-bandwidth-bound, so DMA queue depth is the lever.
+
+Prefill currently routes to the XLA reference path (dense gather); the ragged
+Pallas prefill kernel lands next.
 """
 
 from __future__ import annotations
 
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from nanovllm_tpu.ops.attention_ref import ref_attention
+from nanovllm_tpu.ops.kv_cache import write_kv
+
+MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _decode_kernel(
+    # scalar prefetch
+    ctx_ref,        # i32[S]
+    bt_ref,         # i32[S, pages_per_seq]
+    # inputs
+    q_ref,          # [1, Hq, D] (VMEM block for this seq)
+    k_pages_ref,    # [Hkv, num_pages, page_size, D] (HBM)
+    v_pages_ref,    # [Hkv, num_pages, page_size, D] (HBM)
+    # output
+    o_ref,          # [1, Hq, D]
+    # scratch
+    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
+    v_buf,          # VMEM [2, Hkv, ppc, page_size, D]
+    sems,           # DMA sems [2, 2]
+    *,
+    scale: float,
+    page_size: int,
+    ppc: int,       # pages per chunk
+    hkv: int,
+    g: int,         # q heads per kv head
+    d: int,
+):
+    si = pl.program_id(0)
+    ctx = ctx_ref[si]
+    chunk = ppc * page_size
+    n_chunks = lax.div(ctx + chunk - 1, chunk)
+
+    def chunk_copies(chunk_idx, slot):
+        kcopies, vcopies = [], []
+        for h in range(hkv):
+            for i in range(ppc):
+                page = bt_ref[si, chunk_idx * ppc + i]
+                kcopies.append(pltpu.make_async_copy(
+                    k_pages_ref.at[h, page], k_buf.at[slot, h, i],
+                    sems.at[slot, 0]))
+                vcopies.append(pltpu.make_async_copy(
+                    v_pages_ref.at[h, page], v_buf.at[slot, h, i],
+                    sems.at[slot, 1]))
+        return kcopies, vcopies
+
+    def start_chunk(chunk_idx, slot):
+        kcopies, vcopies = chunk_copies(chunk_idx, slot)
+        for c in kcopies + vcopies:
+            c.start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_chunk(0, 0)
+
+    q = q_ref[0].astype(jnp.float32).reshape(hkv, g, d) * scale
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            start_chunk(ci + 1, lax.rem(ci + 1, 2))
+
+        # Wait for this chunk's K, compute scores while V is still in flight.
+        kcopies, vcopies = chunk_copies(ci, slot)
+        for c in kcopies:
+            c.wait()
+        k = k_buf[slot].reshape(hkv, chunk, d)
+        s = lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [Hkv, G, chunk]
+        pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        s = jnp.where(pos < ctx, s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+
+        for c in vcopies:
+            c.wait()
+        v = v_buf[slot].reshape(hkv, chunk, d)
+        o_curr = lax.dot_general(
+            p, v.astype(jnp.float32),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [Hkv, G, D]
+        acc = acc * alpha + o_curr
+        return m_next, l_next, acc
+
+    m0 = jnp.full((hkv, g, 1), MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((hkv, g, 1), jnp.float32)
+    acc0 = jnp.zeros((hkv, g, d), jnp.float32)
+    m, l, acc = lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    out = acc / jnp.where(l == 0.0, 1.0, l)
+    o_ref[0] = out.reshape(hkv * g, d).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "pages_per_chunk", "interpret"))
+def paged_decode_attention(q, k_pages, v_pages, context_lens, block_tables,
+                           *, scale: float, pages_per_chunk: int = 0,
+                           interpret: bool = False):
+    """q: [S, Hq, D]; k/v_pages: [Hkv, num_pages, page_size, D];
+    context_lens: i32[S]; block_tables: i32[S, pages_per_seq].
+    Returns [S, Hq, D]."""
+    s, hq, d = q.shape
+    hkv, _, page_size, _ = k_pages.shape
+    g = hq // hkv
+    pages_per_seq = block_tables.shape[1]
+    if pages_per_chunk <= 0:
+        # Target ~128-token chunks (one MXU tile of KV rows).
+        pages_per_chunk = max(1, 128 // page_size)
+    ppc = pages_per_chunk
+    while pages_per_seq % ppc:
+        ppc -= 1
+
+    kernel = functools.partial(
+        _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
+        hkv=hkv, g=g, d=d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(s,),
+        in_specs=[
+            pl.BlockSpec((1, hq, d), lambda si, ctx, bt: (si, 0, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, hq, d), lambda si, ctx, bt: (si, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, hkv, ppc, page_size, d), k_pages.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), v_pages.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((s, hq, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(context_lens, block_tables, q, k_pages, v_pages)
 
 
 def pallas_attention(q, k, v, layer_cache, meta, *, scale, is_prefill,
-                     max_q_len, num_gather_pages):
-    return ref_attention(q, k, v, layer_cache, meta, scale=scale,
-                         max_q_len=max_q_len,
-                         num_gather_pages=num_gather_pages)
+                     max_q_len, num_gather_pages, interpret: bool = False):
+    """Backend entry: write-through KV scatter, then Pallas paged decode or
+    (for now) the XLA reference prefill."""
+    if is_prefill:
+        return ref_attention(q, k, v, layer_cache, meta, scale=scale,
+                             max_q_len=max_q_len,
+                             num_gather_pages=num_gather_pages)
+    layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
+    out = paged_decode_attention(
+        q, layer_cache[0], layer_cache[1], meta.context_lens,
+        meta.block_tables, scale=scale, interpret=interpret)
+    return out, layer_cache

@@ -1,0 +1,83 @@
+"""Backend-vs-backend equivalence: the Pallas paged kernels (run in TPU
+interpreter mode on CPU) must match the XLA reference backend — the
+reference's implicit verification method made explicit (SURVEY §4)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nanovllm_tpu.ops.attention_pallas import paged_decode_attention
+from nanovllm_tpu.ops.kv_cache import gather_pages
+
+
+def ref_decode(q, k_pages, v_pages, context_lens, block_tables, scale):
+    """Straightforward dense-gather reference for single-token decode."""
+    s, hq, d = q.shape
+    hkv = k_pages.shape[0]
+    g = hq // hkv
+    cache = jnp.stack([k_pages, v_pages])
+    kd, vd = gather_pages(cache, block_tables, block_tables.shape[1])
+    kmax = kd.shape[2]
+    qg = q.reshape(s, hkv, g, d).astype(jnp.float32)
+    scores = jnp.einsum("shgd,shkd->shgk", qg, kd.astype(jnp.float32)) * scale
+    mask = (jnp.arange(kmax)[None, :] < context_lens[:, None])[:, None, None, :]
+    scores = jnp.where(mask, scores, -jnp.inf)
+    smax = jnp.max(scores, axis=-1, keepdims=True)
+    smax = jnp.where(jnp.isfinite(smax), smax, 0.0)
+    p = jnp.exp(scores - smax)
+    p = jnp.where(mask, p, 0.0)
+    denom = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-20)
+    out = jnp.einsum("shgk,shkd->shgd", p / denom, vd.astype(jnp.float32))
+    return out.reshape(s, hq, d)
+
+
+@pytest.mark.parametrize("s,hq,hkv,page_size,pages_per_seq", [
+    (4, 8, 4, 16, 8),
+    (3, 4, 4, 16, 4),    # MHA
+    (5, 16, 2, 32, 4),   # strong GQA
+])
+def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
+    d = 128
+    num_pages = s * pages_per_seq + 1
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    q = jax.random.normal(k1, (s, hq, d), jnp.float32)
+    k_pages = jax.random.normal(k2, (hkv, num_pages, page_size, d), jnp.float32)
+    v_pages = jax.random.normal(k3, (hkv, num_pages, page_size, d), jnp.float32)
+    rng = np.random.default_rng(0)
+    # Distinct pages per seq; varied context lengths incl. partial pages.
+    tables = rng.permutation(num_pages - 1)[: s * pages_per_seq].reshape(
+        s, pages_per_seq).astype(np.int32) + 1
+    max_ctx = pages_per_seq * page_size
+    ctx = np.array([1 + rng.integers(0, max_ctx) for _ in range(s)], np.int32)
+    ctx[0] = max_ctx       # full
+    ctx[1] = page_size     # exactly one page
+    block_tables = jnp.asarray(tables)
+    context_lens = jnp.asarray(ctx)
+    scale = d ** -0.5
+
+    out_pallas = paged_decode_attention(
+        q, k_pages, v_pages, context_lens, block_tables, scale=scale,
+        interpret=True)
+    out_ref = ref_decode(q, k_pages, v_pages, context_lens, block_tables,
+                         scale)
+    np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_paged_decode_pad_seq_zero_context():
+    d, s, hq, hkv, page_size, pages_per_seq = 128, 4, 4, 2, 16, 4
+    num_pages = 8
+    q = jnp.ones((s, hq, d), jnp.float32)
+    k_pages = jnp.ones((hkv, num_pages, page_size, d), jnp.float32)
+    v_pages = jnp.ones((hkv, num_pages, page_size, d), jnp.float32)
+    block_tables = jnp.zeros((s, pages_per_seq), jnp.int32)
+    context_lens = jnp.array([16, 0, 5, 0], jnp.int32)  # pad seqs ctx=0
+    out = paged_decode_attention(q, k_pages, v_pages, context_lens,
+                                 block_tables, scale=0.1, interpret=True)
+    out = np.asarray(out)
+    assert np.allclose(out[1], 0.0) and np.allclose(out[3], 0.0)
+    assert np.allclose(out[0], 1.0, atol=1e-5)  # V all-ones -> weighted avg 1
