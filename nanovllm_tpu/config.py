@@ -99,6 +99,11 @@ class Config:
     kvcache_block_size: int = 64
     num_kvcache_blocks: int = -1
     attn_backend: str = "pallas"
+    # Decode steps fused into one on-device dispatch (lax.scan over forward +
+    # sample + metadata advance). Amortizes host->TPU dispatch latency; the
+    # TPU answer to the reference's CUDA-graph replay (model_runner.py:278-303)
+    # plus multi-step scheduling. 1 = step-per-dispatch.
+    decode_steps: int = 32
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8
     quant: str = "none"            # none | int8 | int4 (weight-only)
@@ -117,6 +122,7 @@ class Config:
             "kvcache_block_size must be a multiple of 16 (TPU bf16 sublane tile)"
         )
         assert 1 <= self.tensor_parallel_size <= 64
+        assert 1 <= self.decode_steps <= 512
         assert self.quant in ("none", "int8", "int4")
         assert self.kv_cache_dtype in ("auto", "bfloat16", "float32", "int8")
         if self.model_config is None:

@@ -128,6 +128,50 @@ class BlockManager:
         seq.num_cached_tokens = 0
         seq.block_table = []
 
+    # --- multi-step decode API: page reservation is decoupled from hash
+    # sealing so K decode steps can run on-device per dispatch -------------
+
+    def pages_needed_for(self, seq: Sequence, k: int) -> int:
+        """Extra pages needed so KV slots exist for positions up to
+        len(seq)+k-2 (step i of a K-step dispatch writes KV at position
+        len+i-1), i.e. capacity len(seq)+k-1 tokens."""
+        cap_tokens = len(seq) + k - 1
+        need = (cap_tokens + self.block_size - 1) // self.block_size
+        return max(0, need - len(seq.block_table))
+
+    def can_reserve(self, seq: Sequence, k: int) -> bool:
+        return self.pages_needed_for(seq, k) <= self.num_free_blocks
+
+    def reserve(self, seq: Sequence, k: int) -> None:
+        for _ in range(self.pages_needed_for(seq, k)):
+            block_id = next(iter(self.free_blocks))
+            self._allocate_block(block_id)
+            seq.block_table.append(block_id)
+
+    def commit_token(self, seq: Sequence) -> None:
+        """Called after append_token: seal page hashes at boundaries.
+        Handles both the just-filled page (pos % bs == 0) and the lazy
+        backfill of a previous page that was never sealed (the short-prompt
+        case, reference block_manager.py:136-146)."""
+        pos = len(seq) % self.block_size
+        filled_pages = len(seq) // self.block_size
+        if pos == 0:
+            idx = filled_pages - 1
+        elif pos == 1 and filled_pages >= 1:
+            idx = filled_pages - 1  # token started a new page; check previous
+        else:
+            return
+        if idx >= len(seq.block_table):
+            return
+        block = self.blocks[seq.block_table[idx]]
+        if block.hash != -1:
+            return
+        prefix_hash = (
+            self.blocks[seq.block_table[idx - 1]].hash if idx > 0 else -1)
+        h = compute_hash(seq.block(idx), prefix_hash)
+        block.update(h, seq.block(idx))
+        self.hash_to_block_id[h] = block.block_id
+
     def can_append(self, seq: Sequence) -> bool:
         # A new page is needed only when the next appended token starts one.
         return self.num_free_blocks >= (len(seq) % self.block_size == 1)

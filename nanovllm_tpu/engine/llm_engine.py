@@ -63,8 +63,9 @@ class LLMEngine:
             # (reference scheduler.py:78-82 assert) — nothing ran this step;
             # the next step re-admits it from `waiting`.
             return [], stats
-        token_ids = self.model_runner.run(seqs, stats.is_prefill)
-        finished = self.scheduler.postprocess(seqs, token_ids)
+        token_lists = self.model_runner.run(seqs, stats.is_prefill,
+                                            stats.num_steps)
+        finished = self.scheduler.postprocess(seqs, token_lists)
         outputs = [(seq.seq_id, seq.completion_token_ids) for seq in finished]
         return outputs, stats
 

@@ -53,6 +53,22 @@ def next_pow2(n: int, lo: int = 1) -> int:
     return b
 
 
+def _enable_compilation_cache():
+    """Persist compiled executables across processes (compiles dominate cold
+    start; the CUDA-graph capture had the same role for the reference)."""
+    import os
+    cache_dir = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                               os.path.expanduser("~/.cache/nanovllm_tpu_xla"))
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # pragma: no cover - older jax
+        pass
+
+
+_enable_compilation_cache()
+
+
 class ModelRunner:
     def __init__(self, config: Config, mesh=None, devices=None):
         self.config = config
@@ -127,46 +143,81 @@ class ModelRunner:
         logger.info("kv cache: %d pages x %d tokens (%.2f GiB total)",
                     cfg.num_kvcache_blocks, cfg.kvcache_block_size,
                     cfg.num_kvcache_blocks * self._kv_bytes_per_page() / 2**30)
+        self.num_slots = cfg.num_kvcache_blocks * cfg.kvcache_block_size
         shape = (mc.num_hidden_layers, 2, mc.num_key_value_heads,
-                 cfg.num_kvcache_blocks, cfg.kvcache_block_size, mc.head_dim)
+                 self.num_slots, mc.head_dim)
         self.kv_cache = jax.device_put(
             jnp.zeros(shape, self.kv_dtype), kv_cache_sharding(self.mesh))
-        self.num_slots = cfg.num_kvcache_blocks * cfg.kvcache_block_size
 
     # ---------------------------------------------------------- step fns
     def _attn_fn(self, is_prefill: bool, max_q_len: int, num_gather_pages: int):
         mc = self.config.model_config
         scale = mc.head_dim ** -0.5
+        page_size = self.config.kvcache_block_size
         if self.config.attn_backend == "pallas":
             from nanovllm_tpu.ops.attention_pallas import pallas_attention
             return functools.partial(
                 pallas_attention, scale=scale, is_prefill=is_prefill,
-                max_q_len=max_q_len, num_gather_pages=num_gather_pages)
+                max_q_len=max_q_len, num_gather_pages=num_gather_pages,
+                page_size=page_size)
         from nanovllm_tpu.ops.attention_ref import ref_attention
         return functools.partial(
             ref_attention, scale=scale, max_q_len=max_q_len,
-            num_gather_pages=num_gather_pages)
+            num_gather_pages=num_gather_pages, page_size=page_size)
 
     def _get_step_fn(self, key):
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
-        is_prefill, t, s, qmax, pk = key
+        is_prefill, t, s, qmax, pk, n_steps = key
         mc = self.mc
         attn_fn = self._attn_fn(is_prefill, qmax, pk)
+        page_size = self.config.kvcache_block_size
+        num_slots = self.num_slots
 
-        def step(params, kv_cache, meta: BatchMeta, rng):
-            logits, kv_cache = qwen3.forward(params, mc, kv_cache, meta,
-                                             attn_fn)
-            tokens = sample(logits, meta.temperatures, rng)
-            return kv_cache, tokens
+        if is_prefill:
+            def step(params, kv_cache, meta: BatchMeta, rng):
+                logits, kv_cache = qwen3.forward(params, mc, kv_cache, meta,
+                                                 attn_fn)
+                tokens = sample(logits, meta.temperatures, rng)
+                return kv_cache, tokens[None, :]
+        else:
+            # Fused multi-step decode: K forward+sample steps per dispatch,
+            # sampled tokens fed back on-device, metadata (positions, slots,
+            # context lens) advanced on-device. One host round-trip per K
+            # tokens instead of per token.
+            import dataclasses
+
+            def step(params, kv_cache, meta: BatchMeta, rng):
+                valid = meta.context_lens > 0
+                seq_ar = jnp.arange(s, dtype=jnp.int32)
+
+                def body(carry, _):
+                    cache, m, key = carry
+                    logits, cache = qwen3.forward(params, mc, cache, m,
+                                                  attn_fn)
+                    key, sub = jax.random.split(key)
+                    tokens = sample(logits, m.temperatures, sub)
+                    positions = jnp.where(valid, m.positions + 1, 0)
+                    ctx = jnp.where(valid, m.context_lens + 1, 0)
+                    slot = (m.block_tables[seq_ar, positions // page_size]
+                            * page_size + positions % page_size)
+                    slot = jnp.where(valid, slot, num_slots)
+                    m2 = dataclasses.replace(
+                        m, input_ids=tokens, positions=positions,
+                        slot_mapping=slot, context_lens=ctx)
+                    return (cache, m2, key), tokens
+
+                (kv_cache, _, _), toks = jax.lax.scan(
+                    body, (kv_cache, meta, rng), length=n_steps)
+                return kv_cache, toks  # [K, S]
 
         fn = jax.jit(step, donate_argnums=(1,))
         self._step_fns[key] = fn
         logger.info("compiling step bucket %s", key)
         return fn
 
-    def bucket_key(self, seqs, is_prefill: bool):
+    def bucket_key(self, seqs, is_prefill: bool, num_steps: int = 1):
         cfg = self.config
         max_pages = max(s2.num_blocks for s2 in seqs)
         pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
@@ -176,16 +227,18 @@ class ModelRunner:
             s = min(next_pow2(len(seqs)), next_pow2(cfg.max_num_seqs))
             qmax = min(next_pow2(max(len(s2) - s2.num_cached_tokens
                                      for s2 in seqs)), t)
-            return (True, t, s, qmax, pk)
+            return (True, t, s, qmax, pk, 1)
         s = min(next_bucket(len(seqs), DECODE_BUCKETS),
                 next_pow2(cfg.max_num_seqs))
-        return (False, s, s, 1, pk)
+        return (False, s, s, 1, pk, num_steps)
 
     # --------------------------------------------------------------- run
-    def run(self, seqs, is_prefill: bool) -> list[int]:
+    def run(self, seqs, is_prefill: bool, num_steps: int = 1) -> list[list[int]]:
+        """Returns per-seq token lists: one token per fused decode step
+        (prefill: single-token lists)."""
         cfg = self.config
-        key = self.bucket_key(seqs, is_prefill)
-        _, t, s, _, _ = key
+        key = self.bucket_key(seqs, is_prefill, num_steps)
+        _, t, s, _, _, _ = key
         if is_prefill:
             raw = build_prefill_meta(seqs, t, s, cfg.kvcache_block_size,
                                      cfg.pages_per_seq, self.num_slots)
@@ -196,7 +249,7 @@ class ModelRunner:
         self.rng_key, sub = jax.random.split(self.rng_key)
         step_fn = self._get_step_fn(key)
         self.kv_cache, tokens = step_fn(self.params, self.kv_cache, meta, sub)
-        return np.asarray(tokens)[: len(seqs)].tolist()
+        return np.asarray(tokens)[:, : len(seqs)].T.tolist()
 
     def warmup(self, decode_buckets=(64,), prefill_tokens=()):
         """Pre-compile the hot buckets (the CUDA-graph-capture equivalent,

@@ -25,6 +25,7 @@ class StepStats:
     num_scheduled_tokens: int  # uncached query tokens this step
     num_seqs: int
     num_preempted: int = 0
+    num_steps: int = 1  # decode steps fused into this dispatch
 
 
 class Scheduler:
@@ -35,6 +36,8 @@ class Scheduler:
         )
         self.max_num_seqs = config.max_num_seqs
         self.max_num_batched_tokens = config.max_num_batched_tokens
+        self.max_model_len = config.max_model_len
+        self.decode_steps = config.decode_steps
         self.eos = config.eos
         self.block_manager = BlockManager(
             config.num_kvcache_blocks, config.kvcache_block_size
@@ -81,11 +84,20 @@ class Scheduler:
             )
 
         # Decode: FCFS over `running`; on page exhaustion preempt from the
-        # tail (most recently admitted) until the head can append.
+        # tail (most recently admitted) until the head can reserve. K decode
+        # steps run on-device per dispatch (TPU dispatch amortization —
+        # replaces the reference's one-step CUDA-graph replay); each seq
+        # reserves pages for K tokens ahead. Seqs that hit EOS/max_tokens
+        # mid-dispatch are truncated in postprocess.
+        k = self.decode_steps
+        if self.running:
+            # Never write KV past max_model_len capacity.
+            k = max(1, min(k, min(self.max_model_len - len(s) + 1
+                                  for s in self.running)))
         num_preempted = 0
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
-            while not self.block_manager.can_append(seq):
+            while not self.block_manager.can_reserve(seq, k):
                 if self.running:
                     num_preempted += self._preempt(self.running.pop())
                 else:
@@ -93,7 +105,7 @@ class Scheduler:
                     seq = None
                     break
             if seq is not None:
-                self.block_manager.may_append(seq)
+                self.block_manager.reserve(seq, k)
                 num_seqs += 1
                 scheduled.append(seq)
         self.num_preempted_total += num_preempted
@@ -101,9 +113,10 @@ class Scheduler:
         self.running.extendleft(reversed(scheduled))
         return scheduled, StepStats(
             is_prefill=False,
-            num_scheduled_tokens=len(scheduled),
+            num_scheduled_tokens=len(scheduled) * k,
             num_seqs=len(scheduled),
             num_preempted=num_preempted,
+            num_steps=k,
         )
 
     def _preempt(self, seq: Sequence) -> int:
@@ -112,15 +125,24 @@ class Scheduler:
         self.waiting.appendleft(seq)
         return 1
 
-    def postprocess(self, seqs: list[Sequence], token_ids: list[int]) -> list[Sequence]:
+    def postprocess(self, seqs: list[Sequence],
+                    token_ids: list[list[int]] | list[int]) -> list[Sequence]:
+        """token_ids: per-seq token list (one entry per fused decode step;
+        prefill passes single-element lists). Tokens past EOS/max_tokens/
+        max_model_len are overshoot from the fused dispatch and discarded."""
         finished = []
-        for seq, token_id in zip(seqs, token_ids):
-            seq.append_token(token_id)
-            if (not seq.ignore_eos and token_id == self.eos) or (
-                seq.num_completion_tokens >= seq.max_tokens
-            ):
-                seq.status = SequenceStatus.FINISHED
-                self.block_manager.deallocate(seq)
-                self.running.remove(seq)
-                finished.append(seq)
+        for seq, tokens in zip(seqs, token_ids):
+            if isinstance(tokens, int):
+                tokens = [tokens]
+            for token_id in tokens:
+                seq.append_token(token_id)
+                self.block_manager.commit_token(seq)
+                if ((not seq.ignore_eos and token_id == self.eos)
+                        or seq.num_completion_tokens >= seq.max_tokens
+                        or len(seq) >= self.max_model_len):
+                    seq.status = SequenceStatus.FINISHED
+                    self.block_manager.deallocate(seq)
+                    self.running.remove(seq)
+                    finished.append(seq)
+                    break
         return finished

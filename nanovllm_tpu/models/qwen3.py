@@ -46,18 +46,14 @@ from nanovllm_tpu.ops.norm import add_rms_norm, rms_norm
 from nanovllm_tpu.ops.rope import apply_rope
 
 
-def _layer(x, residual, lp, cache_l, meta, cfg: ModelConfig, attn_fn):
+def _layer(x, residual, lp, cache, layer_i, meta, cfg: ModelConfig, attn_fn):
     hq = cfg.num_attention_heads
     hkv = cfg.num_key_value_heads
     d = cfg.head_dim
     eps = cfg.rms_norm_eps
     t = x.shape[0]
 
-    if residual is None:
-        residual = x
-        h = rms_norm(x, lp["input_ln"], eps)
-    else:
-        h, residual = add_rms_norm(x, residual, lp["input_ln"], eps)
+    h, residual = add_rms_norm(x, residual, lp["input_ln"], eps)
 
     q = (h @ lp["wq"]).reshape(t, hq, d)
     k = (h @ lp["wk"]).reshape(t, hkv, d)
@@ -67,51 +63,38 @@ def _layer(x, residual, lp, cache_l, meta, cfg: ModelConfig, attn_fn):
         k = rms_norm(k, lp["k_norm"], eps)
     q, k = apply_rope(q, k, meta.positions, cfg.rope_theta)
 
-    attn_out, cache_l = attn_fn(q, k, v, cache_l, meta)
+    attn_out, cache = attn_fn(q, k, v, cache, layer_i, meta)
     h = attn_out.reshape(t, hq * d) @ lp["o"]
 
     h, residual = add_rms_norm(h, residual, lp["post_ln"], eps)
     gate = h @ lp["gate"]
     up = h @ lp["up"]
     h = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up) @ lp["down"]
-    return h, residual, cache_l
+    return h, residual, cache
 
 
 def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
-    """Returns (last_token_logits [S, V] fp32, updated kv_cache [L, ...]).
+    """Returns (last_token_logits [S, V] fp32, updated kv_cache).
 
-    kv_cache: [L, 2, Hkv, pages, page_size, D]. Threaded through `lax.scan`
-    as part of the carry and updated in place per layer via
-    dynamic_update_index — with the cache donated into the jitted step, XLA
-    aliases the buffer and the update is truly in-place.
+    kv_cache: [L, 2, Hkv, num_slots, D], threaded whole through the layer
+    scan carry; every update is a scatter at (layer, slots) that XLA performs
+    in place on the donated buffer. The cache is never sliced by layer — a
+    slice/update-slice pair would materialize a full layer copy per layer per
+    step (measured: it turns decode into an HBM-bandwidth cache memcpy).
     """
     x = params["embed"][meta.input_ids].astype(params["layers"]["wq"].dtype)
+    residual = jnp.zeros_like(x)
 
-    num_layers = cfg.num_hidden_layers
-
-    def body(carry, layer_i):
+    def body(carry, inputs):
         x, residual, cache = carry
-        lp = jax.tree.map(lambda p: lax.dynamic_index_in_dim(
-            p, layer_i, axis=0, keepdims=False), params["layers"])
-        cache_l = lax.dynamic_index_in_dim(cache, layer_i, axis=0,
-                                           keepdims=False)
-        x, residual, cache_l = _layer(x, residual, lp, cache_l, meta, cfg,
-                                      attn_fn)
-        cache = lax.dynamic_update_index_in_dim(cache, cache_l, layer_i,
-                                                axis=0)
+        layer_i, lp = inputs
+        x, residual, cache = _layer(x, residual, lp, cache, layer_i, meta,
+                                    cfg, attn_fn)
         return (x, residual, cache), None
 
-    # First layer outside scan: it establishes the residual stream (carry
-    # structure must be uniform).
-    lp0 = jax.tree.map(lambda p: p[0], params["layers"])
-    cache0 = kv_cache[0]
-    x, residual, cache0 = _layer(x, None, lp0, cache0, meta, cfg, attn_fn)
-    kv_cache = lax.dynamic_update_index_in_dim(kv_cache, cache0, 0, axis=0)
-
-    if num_layers > 1:
-        (x, residual, kv_cache), _ = lax.scan(
-            body, (x, residual, kv_cache),
-            jnp.arange(1, num_layers), length=num_layers - 1)
+    (x, residual, kv_cache), _ = lax.scan(
+        body, (x, residual, kv_cache),
+        (jnp.arange(cfg.num_hidden_layers), params["layers"]))
 
     x = rms_norm(x + residual, params["final_ln"], cfg.rms_norm_eps)
     # Only last-token rows feed the LM head (reference embed_head.py:62-65).

@@ -9,6 +9,10 @@ all KV heads of a sequence into one program so every chunk issues
 2*Hkv*pages_per_chunk concurrent page DMAs — decode attention is
 HBM-bandwidth-bound, so DMA queue depth is the lever.
 
+The kernels read straight from the FULL flat-slot cache
+[L, 2, Hkv, num_slots, D] with a scalar-prefetched layer index — no
+per-layer slicing ever touches the cache (see ops/kv_cache.py).
+
 Prefill currently routes to the XLA reference path (dense gather); the ragged
 Pallas prefill kernel lands next.
 """
@@ -31,12 +35,12 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 def _decode_kernel(
     # scalar prefetch
+    layer_ref,      # i32[1]
     ctx_ref,        # i32[S]
     bt_ref,         # i32[S, pages_per_seq]
     # inputs
     q_ref,          # [1, Hq, D] (VMEM block for this seq)
-    k_pages_ref,    # [Hkv, num_pages, page_size, D] (HBM)
-    v_pages_ref,    # [Hkv, num_pages, page_size, D] (HBM)
+    cache_ref,      # [L, 2, Hkv, num_slots, D] (HBM)
     # output
     o_ref,          # [1, Hq, D]
     # scratch
@@ -52,6 +56,7 @@ def _decode_kernel(
     d: int,
 ):
     si = pl.program_id(0)
+    li = layer_ref[0]
     ctx = ctx_ref[si]
     chunk = ppc * page_size
     n_chunks = lax.div(ctx + chunk - 1, chunk)
@@ -61,12 +66,13 @@ def _decode_kernel(
         for h in range(hkv):
             for i in range(ppc):
                 page = bt_ref[si, chunk_idx * ppc + i]
+                start = page * page_size
                 kcopies.append(pltpu.make_async_copy(
-                    k_pages_ref.at[h, page], k_buf.at[slot, h, i],
-                    sems.at[slot, 0]))
+                    cache_ref.at[li, 0, h, pl.ds(start, page_size)],
+                    k_buf.at[slot, h, i], sems.at[slot, 0]))
                 vcopies.append(pltpu.make_async_copy(
-                    v_pages_ref.at[h, page], v_buf.at[slot, h, i],
-                    sems.at[slot, 1]))
+                    cache_ref.at[li, 1, h, pl.ds(start, page_size)],
+                    v_buf.at[slot, h, i], sems.at[slot, 1]))
         return kcopies, vcopies
 
     def start_chunk(chunk_idx, slot):
@@ -127,15 +133,16 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "pages_per_chunk", "interpret"))
-def paged_decode_attention(q, k_pages, v_pages, context_lens, block_tables,
-                           *, scale: float, pages_per_chunk: int = 0,
+    static_argnames=("scale", "page_size", "pages_per_chunk", "interpret"))
+def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
+                           *, scale: float, page_size: int,
+                           pages_per_chunk: int = 0,
                            interpret: bool = False):
-    """q: [S, Hq, D]; k/v_pages: [Hkv, num_pages, page_size, D];
+    """q: [S, Hq, D]; cache: [L, 2, Hkv, num_slots, D]; layer_i: i32 scalar;
     context_lens: i32[S]; block_tables: i32[S, pages_per_seq].
     Returns [S, Hq, D]."""
     s, hq, d = q.shape
-    hkv, _, page_size, _ = k_pages.shape
+    hkv = cache.shape[2]
     g = hq // hkv
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
@@ -149,20 +156,20 @@ def paged_decode_attention(q, k_pages, v_pages, context_lens, block_tables,
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
         hkv=hkv, g=g, d=d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(s,),
         in_specs=[
-            pl.BlockSpec((1, hq, d), lambda si, ctx, bt: (si, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, hq, d), lambda si, ctx, bt: (si, 0, 0)),
+        out_specs=pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, ppc, page_size, d), k_pages.dtype),
-            pltpu.VMEM((2, hkv, ppc, page_size, d), v_pages.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
+    layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((s, hq, d), q.dtype),
@@ -170,19 +177,21 @@ def paged_decode_attention(q, k_pages, v_pages, context_lens, block_tables,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(context_lens, block_tables, q, k_pages, v_pages)
+    )(layer_arr, context_lens, block_tables, q, cache)
 
 
-def pallas_attention(q, k, v, layer_cache, meta, *, scale, is_prefill,
-                     max_q_len, num_gather_pages, interpret: bool = False):
+def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
+                     max_q_len, num_gather_pages, page_size,
+                     interpret: bool = False):
     """Backend entry: write-through KV scatter, then Pallas paged decode or
     (for now) the XLA reference prefill."""
     if is_prefill:
-        return ref_attention(q, k, v, layer_cache, meta, scale=scale,
+        return ref_attention(q, k, v, cache, layer_i, meta, scale=scale,
                              max_q_len=max_q_len,
-                             num_gather_pages=num_gather_pages)
-    layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
+                             num_gather_pages=num_gather_pages,
+                             page_size=page_size)
+    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping)
     out = paged_decode_attention(
-        q, layer_cache[0], layer_cache[1], meta.context_lens,
-        meta.block_tables, scale=scale, interpret=interpret)
-    return out, layer_cache
+        q, cache, layer_i, meta.context_lens, meta.block_tables,
+        scale=scale, page_size=page_size, interpret=interpret)
+    return out, cache

@@ -21,11 +21,12 @@ from nanovllm_tpu.ops.kv_cache import gather_pages, write_kv
 NEG_INF = float("-inf")
 
 
-def ref_attention(q, k, v, layer_cache, meta, *, scale: float, max_q_len: int,
-                  num_gather_pages: int):
-    """q: [T, Hq, D]; k, v: [T, Hkv, D]; layer_cache: [2, Hkv, pages, ps, D].
+def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
+                  max_q_len: int, num_gather_pages: int, page_size: int):
+    """q: [T, Hq, D]; k, v: [T, Hkv, D]; cache: [L, 2, Hkv, num_slots, D]
+    (full cache — see ops/kv_cache.py for why it is never pre-sliced).
 
-    Returns (out [T, Hq, D], updated layer_cache).
+    Returns (out [T, Hq, D], updated cache).
     """
     t, hq, d = q.shape
     hkv = k.shape[1]
@@ -33,8 +34,9 @@ def ref_attention(q, k, v, layer_cache, meta, *, scale: float, max_q_len: int,
     s = meta.block_tables.shape[0]
     qmax = max_q_len
 
-    layer_cache = write_kv(layer_cache, k, v, meta.slot_mapping)
-    kd, vd = gather_pages(layer_cache, meta.block_tables, num_gather_pages)
+    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping)
+    kd, vd = gather_pages(cache, layer_i, meta.block_tables,
+                          num_gather_pages, page_size)
     kmax = kd.shape[2]
 
     # Densify flat ragged queries into [S(+dump), Qmax, Hq, D].
@@ -66,4 +68,4 @@ def ref_attention(q, k, v, layer_cache, meta, *, scale: float, max_q_len: int,
     out = out.reshape(s, qmax, hq, d).astype(q.dtype)
     # Dump row for pad tokens, then gather back to the flat layout.
     out = jnp.concatenate([out, jnp.zeros((1, qmax, hq, d), q.dtype)], axis=0)
-    return out[meta.seq_idx, meta.q_offset], layer_cache
+    return out[meta.seq_idx, meta.q_offset], cache

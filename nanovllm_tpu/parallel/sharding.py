@@ -41,5 +41,5 @@ def param_shardings(mesh: Mesh) -> dict:
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    # [L, 2, kv_heads, pages, page_size, head_dim] — shard kv_heads.
-    return NamedSharding(mesh, P(None, None, "tp", None, None, None))
+    # [L, 2, kv_heads, num_slots, head_dim] — shard kv_heads.
+    return NamedSharding(mesh, P(None, None, "tp", None, None))

@@ -13,13 +13,13 @@ from nanovllm_tpu.ops.attention_pallas import paged_decode_attention
 from nanovllm_tpu.ops.kv_cache import gather_pages
 
 
-def ref_decode(q, k_pages, v_pages, context_lens, block_tables, scale):
+def ref_decode(q, cache, layer_i, context_lens, block_tables, page_size, scale):
     """Straightforward dense-gather reference for single-token decode."""
     s, hq, d = q.shape
-    hkv = k_pages.shape[0]
+    hkv = cache.shape[2]
     g = hq // hkv
-    cache = jnp.stack([k_pages, v_pages])
-    kd, vd = gather_pages(cache, block_tables, block_tables.shape[1])
+    kd, vd = gather_pages(cache, layer_i, block_tables,
+                          block_tables.shape[1], page_size)
     kmax = kd.shape[2]
     qg = q.reshape(s, hkv, g, d).astype(jnp.float32)
     scores = jnp.einsum("shgd,shkd->shgk", qg, kd.astype(jnp.float32)) * scale
@@ -43,10 +43,12 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
     d = 128
     num_pages = s * pages_per_seq + 1
     key = jax.random.PRNGKey(0)
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, _ = jax.random.split(key)
     q = jax.random.normal(k1, (s, hq, d), jnp.float32)
-    k_pages = jax.random.normal(k2, (hkv, num_pages, page_size, d), jnp.float32)
-    v_pages = jax.random.normal(k3, (hkv, num_pages, page_size, d), jnp.float32)
+    # 2-layer cache; exercise the scalar-prefetched layer index with layer 1.
+    cache = jax.random.normal(
+        key, (2, 2, hkv, num_pages * page_size, d), jnp.float32)
+    layer_i = 1
     rng = np.random.default_rng(0)
     # Distinct pages per seq; varied context lengths incl. partial pages.
     tables = rng.permutation(num_pages - 1)[: s * pages_per_seq].reshape(
@@ -60,10 +62,10 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
     scale = d ** -0.5
 
     out_pallas = paged_decode_attention(
-        q, k_pages, v_pages, context_lens, block_tables, scale=scale,
-        interpret=True)
-    out_ref = ref_decode(q, k_pages, v_pages, context_lens, block_tables,
-                         scale)
+        q, cache, layer_i, context_lens, block_tables, scale=scale,
+        page_size=page_size, interpret=True)
+    out_ref = ref_decode(q, cache, layer_i, context_lens, block_tables,
+                         page_size, scale)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -72,12 +74,12 @@ def test_paged_decode_pad_seq_zero_context():
     d, s, hq, hkv, page_size, pages_per_seq = 128, 4, 4, 2, 16, 4
     num_pages = 8
     q = jnp.ones((s, hq, d), jnp.float32)
-    k_pages = jnp.ones((hkv, num_pages, page_size, d), jnp.float32)
-    v_pages = jnp.ones((hkv, num_pages, page_size, d), jnp.float32)
+    cache = jnp.ones((1, 2, hkv, num_pages * page_size, d), jnp.float32)
     block_tables = jnp.zeros((s, pages_per_seq), jnp.int32)
     context_lens = jnp.array([16, 0, 5, 0], jnp.int32)  # pad seqs ctx=0
-    out = paged_decode_attention(q, k_pages, v_pages, context_lens,
-                                 block_tables, scale=0.1, interpret=True)
+    out = paged_decode_attention(q, cache, 0, context_lens,
+                                 block_tables, scale=0.1,
+                                 page_size=page_size, interpret=True)
     out = np.asarray(out)
     assert np.allclose(out[1], 0.0) and np.allclose(out[3], 0.0)
     assert np.allclose(out[0], 1.0, atol=1e-5)  # V all-ones -> weighted avg 1

@@ -21,6 +21,7 @@ def make_llm(**over):
         model_config=mc, max_num_batched_tokens=512, max_num_seqs=16,
         max_model_len=256, kvcache_block_size=16, num_kvcache_blocks=64,
         attn_backend="ref", dtype="float32", load_format="random", seed=0,
+        decode_steps=4,  # exercise fused multi-step decode
     )
     kw.update(over)
     return LLM("", **kw)
@@ -104,6 +105,17 @@ def test_preemption_preserves_greedy_output():
     tight = tight_llm.generate(prompts, sp, use_tqdm=False)
     assert tight_llm.scheduler.num_preempted_total > 0
     for a, b in zip(roomy, tight):
+        assert a["token_ids"] == b["token_ids"]
+
+
+def test_multistep_matches_singlestep_greedy():
+    """K fused decode steps must produce exactly the tokens K single steps
+    produce (the on-device metadata advance is the correctness risk)."""
+    sp = SamplingParams(temperature=0.0, max_tokens=13, ignore_eos=True)
+    prompts = [[5, 9, 23, 41, 77], list(range(1, 30))]
+    single = make_llm(decode_steps=1).generate(prompts, sp, use_tqdm=False)
+    multi = make_llm(decode_steps=4).generate(prompts, sp, use_tqdm=False)
+    for a, b in zip(single, multi):
         assert a["token_ids"] == b["token_ids"]
 
 

@@ -17,6 +17,7 @@ def make_scheduler(num_blocks=32, max_seqs=8, max_tokens=512, block=16):
         kvcache_block_size=block,
         num_kvcache_blocks=num_blocks,
         attn_backend="ref",
+        decode_steps=1,  # single-step semantics for these fine-grained tests
     )
     return Scheduler(cfg)
 
