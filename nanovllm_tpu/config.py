@@ -99,6 +99,10 @@ class Config:
     kvcache_block_size: int = 64
     num_kvcache_blocks: int = -1
     attn_backend: str = "pallas"
+    # Query-tile size for the ragged Pallas prefill kernel. Each sequence's
+    # query segment is aligned to this in the flat token layout so every
+    # q-tile belongs to exactly one sequence.
+    prefill_q_tile: int = 128
     # Decode steps fused into one on-device dispatch (lax.scan over forward +
     # sample + metadata advance). Amortizes host->TPU dispatch latency; the
     # TPU answer to the reference's CUDA-graph replay (model_runner.py:278-303)

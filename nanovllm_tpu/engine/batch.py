@@ -23,6 +23,10 @@ import jax
 import numpy as np
 
 
+def cdiv(a: int, b: int) -> int:
+    return -(-a // b)
+
+
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class BatchMeta:
@@ -35,16 +39,27 @@ class BatchMeta:
     context_lens: jax.Array  # i32[S]  kv length after this step (0 = pad seq)
     last_token_idx: jax.Array  # i32[S] flat index of each seq's final query token
     temperatures: jax.Array  # f32[S]
+    # Prefill q-tiling (for the ragged Pallas prefill kernel; sequences are
+    # aligned to the q-tile size in the flat layout so each tile maps to one
+    # sequence). tile_pos0 == -1 marks a padding tile.
+    tile_seq: jax.Array     # i32[NT]
+    tile_pos0: jax.Array    # i32[NT]  global position of tile's first query
 
 
 def build_prefill_meta(seqs, T: int, S: int, page_size: int, pages_per_seq: int,
-                       num_slots: int) -> dict:
+                       num_slots: int, q_tile: int = 1) -> dict:
     """Host-side (numpy) batch prep for a prefill step.
 
     Mirrors reference prepare_prefill (engine/model_runner.py:171-241): only
     the *uncached* suffix of each sequence becomes query tokens; cached pages
     are visible to attention through the block table / context_lens.
+
+    Each sequence's query segment starts at a multiple of `q_tile` in the
+    flat layout (padding between segments) so every q-tile belongs to exactly
+    one sequence — the ragged Pallas prefill kernel's tiling contract.
     """
+    assert T % q_tile == 0
+    nt = T // q_tile
     input_ids = np.zeros(T, np.int32)
     positions = np.zeros(T, np.int32)
     slot_mapping = np.full(T, num_slots, np.int32)
@@ -54,6 +69,8 @@ def build_prefill_meta(seqs, T: int, S: int, page_size: int, pages_per_seq: int,
     context_lens = np.zeros(S, np.int32)
     last_token_idx = np.full(S, T - 1, np.int32)
     temperatures = np.zeros(S, np.float32)
+    tile_seq = np.full(nt, S, np.int32)
+    tile_pos0 = np.full(nt, -1, np.int32)
 
     t = 0
     for s, seq in enumerate(seqs):
@@ -73,12 +90,16 @@ def build_prefill_meta(seqs, T: int, S: int, page_size: int, pages_per_seq: int,
         context_lens[s] = len(seq)
         last_token_idx[s] = t + n_new - 1
         temperatures[s] = seq.temperature
-        t += n_new
+        n_tiles = cdiv(n_new, q_tile)
+        t0 = t // q_tile
+        tile_seq[t0:t0 + n_tiles] = s
+        tile_pos0[t0:t0 + n_tiles] = cached + np.arange(n_tiles) * q_tile
+        t += n_tiles * q_tile
     return dict(
         input_ids=input_ids, positions=positions, slot_mapping=slot_mapping,
         seq_idx=seq_idx, q_offset=q_offset, block_tables=block_tables,
         context_lens=context_lens, last_token_idx=last_token_idx,
-        temperatures=temperatures,
+        temperatures=temperatures, tile_seq=tile_seq, tile_pos0=tile_pos0,
     )
 
 
@@ -115,4 +136,5 @@ def build_decode_meta(seqs, S: int, page_size: int, pages_per_seq: int,
         seq_idx=seq_idx, q_offset=q_offset, block_tables=block_tables,
         context_lens=context_lens, last_token_idx=last_token_idx,
         temperatures=temperatures,
+        tile_seq=np.zeros(1, np.int32), tile_pos0=np.full(1, -1, np.int32),
     )

@@ -159,7 +159,8 @@ class ModelRunner:
             return functools.partial(
                 pallas_attention, scale=scale, is_prefill=is_prefill,
                 max_q_len=max_q_len, num_gather_pages=num_gather_pages,
-                page_size=page_size)
+                page_size=page_size, q_tile=self.config.prefill_q_tile,
+                interpret=self.mesh.devices.flat[0].platform == "cpu")
         from nanovllm_tpu.ops.attention_ref import ref_attention
         return functools.partial(
             ref_attention, scale=scale, max_q_len=max_q_len,
@@ -222,8 +223,10 @@ class ModelRunner:
         max_pages = max(s2.num_blocks for s2 in seqs)
         pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
         if is_prefill:
-            total_new = sum(len(s) - s.num_cached_tokens for s in seqs)
-            t = min(next_pow2(total_new, 128), next_pow2(cfg.max_num_batched_tokens))
+            tq = cfg.prefill_q_tile
+            total = sum(cdiv(len(s) - s.num_cached_tokens, tq) * tq
+                        for s in seqs)
+            t = next_pow2(total, max(128, tq))
             s = min(next_pow2(len(seqs)), next_pow2(cfg.max_num_seqs))
             qmax = min(next_pow2(max(len(s2) - s2.num_cached_tokens
                                      for s2 in seqs)), t)
@@ -241,7 +244,8 @@ class ModelRunner:
         _, t, s, _, _, _ = key
         if is_prefill:
             raw = build_prefill_meta(seqs, t, s, cfg.kvcache_block_size,
-                                     cfg.pages_per_seq, self.num_slots)
+                                     cfg.pages_per_seq, self.num_slots,
+                                     q_tile=cfg.prefill_q_tile)
         else:
             raw = build_decode_meta(seqs, s, cfg.kvcache_block_size,
                                     cfg.pages_per_seq, self.num_slots)

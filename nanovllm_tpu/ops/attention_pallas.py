@@ -180,18 +180,186 @@ def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
     )(layer_arr, context_lens, block_tables, q, cache)
 
 
+def _prefill_kernel(
+    # scalar prefetch
+    layer_ref,      # i32[1]
+    tile_seq_ref,   # i32[NT]
+    tile_pos0_ref,  # i32[NT]
+    ctx_ref,        # i32[S+1]  (padded with 0 for the dump seq)
+    bt_ref,         # i32[S, pages_per_seq]
+    # inputs
+    q_ref,          # [TQ, G, D] q-tile for this (tile, kv-head)
+    cache_ref,      # [L, 2, Hkv, num_slots, D] (HBM)
+    # output
+    o_ref,          # [TQ, G, D]
+    # scratch
+    k_buf,          # VMEM [2, ppc, page_size, D]
+    v_buf,          # VMEM [2, ppc, page_size, D]
+    sems,           # DMA sems [2, 2]
+    *,
+    scale: float,
+    page_size: int,
+    ppc: int,
+    tq: int,
+    g: int,
+    d: int,
+):
+    ti = pl.program_id(0)
+    hi = pl.program_id(1)
+    li = layer_ref[0]
+    si = tile_seq_ref[ti]
+    pos0 = tile_pos0_ref[ti]
+    is_real = pos0 >= 0
+    ctx = jnp.where(is_real, ctx_ref[si], 0)
+    # Causal flash: this tile attends kv positions [0, min(pos0 + TQ, ctx)).
+    kv_hi = jnp.minimum(pos0 + tq, ctx)
+    chunk = ppc * page_size
+    n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
+
+    def chunk_copies(chunk_idx, slot):
+        kcopies, vcopies = [], []
+        for i in range(ppc):
+            page = bt_ref[si, chunk_idx * ppc + i]
+            start = page * page_size
+            kcopies.append(pltpu.make_async_copy(
+                cache_ref.at[li, 0, hi, pl.ds(start, page_size)],
+                k_buf.at[slot, i], sems.at[slot, 0]))
+            vcopies.append(pltpu.make_async_copy(
+                cache_ref.at[li, 1, hi, pl.ds(start, page_size)],
+                v_buf.at[slot, i], sems.at[slot, 1]))
+        return kcopies, vcopies
+
+    def start_chunk(chunk_idx, slot):
+        kcopies, vcopies = chunk_copies(chunk_idx, slot)
+        for c in kcopies + vcopies:
+            c.start()
+
+    @pl.when(n_chunks > 0)
+    def _():
+        start_chunk(0, 0)
+
+    rows = tq * g
+    q = q_ref[...].astype(jnp.float32).reshape(rows, d) * scale
+    # Row r of the flattened (TQ, G) block is query index r // G.
+    q_pos = pos0 + lax.broadcasted_iota(jnp.int32, (rows, chunk), 0) // g
+
+    def body(ci, carry):
+        m, l, acc = carry
+        slot = lax.rem(ci, 2)
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            start_chunk(ci + 1, lax.rem(ci + 1, 2))
+
+        kcopies, vcopies = chunk_copies(ci, slot)
+        for c in kcopies:
+            c.wait()
+        k = k_buf[slot].reshape(chunk, d)
+        s = lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [rows, chunk]
+        kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (kv_pos <= q_pos) & (kv_pos < ctx)
+        s = jnp.where(mask, s, MASK_VALUE)
+
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+
+        for c in vcopies:
+            c.wait()
+        v = v_buf[slot].reshape(chunk, d)
+        o_curr = lax.dot_general(
+            p, v.astype(jnp.float32),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)      # [rows, D]
+        acc = acc * alpha + o_curr
+        return m_next, l_next, acc
+
+    m0 = jnp.full((rows, 1), MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((rows, 1), jnp.float32)
+    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m, l, acc = lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
+
+    out = acc / jnp.where(l == 0.0, 1.0, l)
+    o_ref[...] = out.reshape(tq, g, d).astype(o_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scale", "page_size", "q_tile", "pages_per_chunk",
+                     "interpret"))
+def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
+                             context_lens, block_tables, *, scale: float,
+                             page_size: int, q_tile: int,
+                             pages_per_chunk: int = 0,
+                             interpret: bool = False):
+    """Ragged varlen causal prefill over the paged cache (cached prefixes
+    included — the reference's flash_attn_varlen_func with block_table,
+    attention.py:93-96, and the Triton prefill kernel capability,
+    attention_triton.py:101-183).
+
+    q: [T, Hq, D] flat tokens, each sequence's segment aligned to q_tile;
+    tile_seq/tile_pos0: i32[T // q_tile]. Returns [T, Hq, D]."""
+    t, hq, d = q.shape
+    hkv = cache.shape[2]
+    g = hq // hkv
+    nt = t // q_tile
+    pages_per_seq = block_tables.shape[1]
+    if pages_per_chunk <= 0:
+        pages_per_chunk = max(1, 128 // page_size)
+    ppc = pages_per_chunk
+    while pages_per_seq % ppc:
+        ppc -= 1
+
+    # ctx_ref padded with a dump row so pad tiles (tile_seq == S) index it.
+    ctx_pad = jnp.concatenate(
+        [context_lens, jnp.zeros(1, context_lens.dtype)])
+
+    kernel = functools.partial(
+        _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
+        tq=q_tile, g=g, d=d)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(nt, hkv),
+        in_specs=[
+            pl.BlockSpec((q_tile, g, d), lambda ti, hi, *_: (ti, hi, 0)),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((q_tile, g, d), lambda ti, hi, *_: (ti, hi, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((2, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, ppc, page_size, d), cache.dtype),
+            pltpu.SemaphoreType.DMA((2, 2)),
+        ],
+    )
+    layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((t, hq, d), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary")),
+        interpret=interpret,
+    )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables, q, cache)
+
+
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
-                     max_q_len, num_gather_pages, page_size,
+                     max_q_len, num_gather_pages, page_size, q_tile=128,
                      interpret: bool = False):
-    """Backend entry: write-through KV scatter, then Pallas paged decode or
-    (for now) the XLA reference prefill."""
-    if is_prefill:
-        return ref_attention(q, k, v, cache, layer_i, meta, scale=scale,
-                             max_q_len=max_q_len,
-                             num_gather_pages=num_gather_pages,
-                             page_size=page_size)
+    """Backend entry: write-through KV scatter, then the paged Pallas kernel
+    (ragged prefill or decode)."""
     cache = write_kv(cache, layer_i, k, v, meta.slot_mapping)
-    out = paged_decode_attention(
-        q, cache, layer_i, meta.context_lens, meta.block_tables,
-        scale=scale, page_size=page_size, interpret=interpret)
+    if is_prefill:
+        out = ragged_prefill_attention(
+            q, cache, layer_i, meta.tile_seq, meta.tile_pos0,
+            meta.context_lens, meta.block_tables, scale=scale,
+            page_size=page_size, q_tile=q_tile, interpret=interpret)
+    else:
+        out = paged_decode_attention(
+            q, cache, layer_i, meta.context_lens, meta.block_tables,
+            scale=scale, page_size=page_size, interpret=interpret)
     return out, cache

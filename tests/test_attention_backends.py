@@ -9,7 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from nanovllm_tpu.ops.attention_pallas import paged_decode_attention
+from nanovllm_tpu.ops.attention_pallas import (
+    paged_decode_attention, ragged_prefill_attention)
 from nanovllm_tpu.ops.kv_cache import gather_pages
 
 
@@ -83,3 +84,78 @@ def test_paged_decode_pad_seq_zero_context():
     out = np.asarray(out)
     assert np.allclose(out[1], 0.0) and np.allclose(out[3], 0.0)
     assert np.allclose(out[0], 1.0, atol=1e-5)  # V all-ones -> weighted avg 1
+
+
+def ref_prefill(q, cache, layer_i, tile_seq, tile_pos0, context_lens,
+                block_tables, page_size, q_tile, scale):
+    """Dense causal reference over the paged cache for the ragged layout."""
+    t, hq, d = q.shape
+    hkv = cache.shape[2]
+    g = hq // hkv
+    kd, vd = gather_pages(cache, layer_i, block_tables,
+                          block_tables.shape[1], page_size)
+    kmax = kd.shape[2]
+    nt = t // q_tile
+    out = np.zeros((t, hq, d), np.float32)
+    kd, vd = np.asarray(kd, np.float32), np.asarray(vd, np.float32)
+    qn = np.asarray(q, np.float32)
+    for ti in range(nt):
+        if int(tile_pos0[ti]) < 0:
+            continue
+        s_i = int(tile_seq[ti])
+        ctx = int(context_lens[s_i])
+        for r in range(q_tile):
+            q_pos = int(tile_pos0[ti]) + r
+            if q_pos >= ctx:
+                continue
+            row = ti * q_tile + r
+            for h in range(hq):
+                kh = kd[s_i, h // g]
+                vh = vd[s_i, h // g]
+                kv_lim = min(q_pos + 1, ctx)
+                sc = (kh[:kv_lim] @ qn[row, h]) * scale
+                p = np.exp(sc - sc.max())
+                p /= p.sum()
+                out[row, h] = p @ vh[:kv_lim]
+    return out
+
+
+def test_ragged_prefill_matches_dense():
+    d, hq, hkv, page_size, pages_per_seq, q_tile = 128, 4, 2, 16, 8, 32
+    # Two seqs: one with a cached prefix (pos0 > 0), one fresh + pad tiles.
+    # Layout: seq0 has 40 new tokens at positions 32..71 (32 cached), seq1
+    # has 20 new tokens at positions 0..19.
+    t = 128  # 4 tiles of 32
+    num_pages = 32
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    q = jax.random.normal(k1, (t, hq, d), jnp.float32)
+    cache = jax.random.normal(
+        k2, (2, 2, hkv, num_pages * page_size, d), jnp.float32)
+    layer_i = 1
+    rng = np.random.default_rng(1)
+    tables = rng.permutation(num_pages)[: 2 * pages_per_seq].reshape(
+        2, pages_per_seq).astype(np.int32)
+    block_tables = jnp.asarray(np.vstack([tables, np.zeros((1, pages_per_seq),
+                                                           np.int32)]))[:2]
+    context_lens = jnp.asarray(np.array([72, 20], np.int32))
+    tile_seq = jnp.asarray(np.array([0, 0, 1, 2], np.int32))  # 2 = pad seq
+    tile_pos0 = jnp.asarray(np.array([32, 64, 0, -1], np.int32))
+    scale = d ** -0.5
+
+    out = ragged_prefill_attention(
+        q, cache, layer_i, tile_seq, tile_pos0, context_lens, block_tables,
+        scale=scale, page_size=page_size, q_tile=q_tile, interpret=True)
+    ref = ref_prefill(q, cache, layer_i, np.asarray(tile_seq),
+                      np.asarray(tile_pos0), np.asarray(context_lens),
+                      block_tables, page_size, q_tile, scale)
+    out = np.asarray(out)
+    # Compare only real (attending) rows.
+    for ti, (s_i, p0) in enumerate(zip([0, 0, 1], [32, 64, 0])):
+        ctx = int(np.asarray(context_lens)[s_i])
+        for r in range(q_tile):
+            if p0 + r >= ctx:
+                continue
+            row = ti * q_tile + r
+            np.testing.assert_allclose(out[row], ref[row], rtol=2e-5,
+                                       atol=2e-5, err_msg=f"row {row}")

@@ -130,3 +130,17 @@ def test_eos_stops_generation():
     out = llm3.generate([[10, 20, 30]], sp2, use_tqdm=False)[0]["token_ids"]
     assert out[-1] == first[1]
     assert len(out) == 2
+
+
+def test_pallas_backend_matches_ref_backend_e2e():
+    """Full-engine greedy equivalence between the Pallas paged backend
+    (interpreter mode on CPU) and the XLA reference backend — the
+    reference's backend-vs-backend verification method (SURVEY §4)."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 127, size=n).tolist() for n in (12, 40)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    ref_out = make_llm().generate(prompts, sp, use_tqdm=False)
+    pallas_out = make_llm(attn_backend="pallas").generate(
+        prompts, sp, use_tqdm=False)
+    for a, b in zip(ref_out, pallas_out):
+        assert a["token_ids"] == b["token_ids"]
