@@ -188,24 +188,25 @@ def _prefill_kernel(
     ctx_ref,        # i32[S+1]  (padded with 0 for the dump seq)
     bt_ref,         # i32[S, pages_per_seq]
     # inputs
-    q_ref,          # [TQ, G, D] q-tile for this (tile, kv-head)
+    q_ref,          # [TQ, Hq, D] q-tile (all heads; Hq spans the full axis
+    #                 to satisfy the TPU (8,128) block-tiling constraint)
     cache_ref,      # [L, 2, Hkv, num_slots, D] (HBM)
     # output
-    o_ref,          # [TQ, G, D]
+    o_ref,          # [TQ, Hq, D]
     # scratch
-    k_buf,          # VMEM [2, ppc, page_size, D]
-    v_buf,          # VMEM [2, ppc, page_size, D]
+    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
+    v_buf,          # VMEM [2, Hkv, ppc, page_size, D]
     sems,           # DMA sems [2, 2]
     *,
     scale: float,
     page_size: int,
     ppc: int,
     tq: int,
+    hkv: int,
     g: int,
     d: int,
 ):
     ti = pl.program_id(0)
-    hi = pl.program_id(1)
     li = layer_ref[0]
     si = tile_seq_ref[ti]
     pos0 = tile_pos0_ref[ti]
@@ -218,15 +219,16 @@ def _prefill_kernel(
 
     def chunk_copies(chunk_idx, slot):
         kcopies, vcopies = [], []
-        for i in range(ppc):
-            page = bt_ref[si, chunk_idx * ppc + i]
-            start = page * page_size
-            kcopies.append(pltpu.make_async_copy(
-                cache_ref.at[li, 0, hi, pl.ds(start, page_size)],
-                k_buf.at[slot, i], sems.at[slot, 0]))
-            vcopies.append(pltpu.make_async_copy(
-                cache_ref.at[li, 1, hi, pl.ds(start, page_size)],
-                v_buf.at[slot, i], sems.at[slot, 1]))
+        for h in range(hkv):
+            for i in range(ppc):
+                page = bt_ref[si, chunk_idx * ppc + i]
+                start = page * page_size
+                kcopies.append(pltpu.make_async_copy(
+                    cache_ref.at[li, 0, h, pl.ds(start, page_size)],
+                    k_buf.at[slot, h, i], sems.at[slot, 0]))
+                vcopies.append(pltpu.make_async_copy(
+                    cache_ref.at[li, 1, h, pl.ds(start, page_size)],
+                    v_buf.at[slot, h, i], sems.at[slot, 1]))
         return kcopies, vcopies
 
     def start_chunk(chunk_idx, slot):
@@ -239,9 +241,10 @@ def _prefill_kernel(
         start_chunk(0, 0)
 
     rows = tq * g
-    q = q_ref[...].astype(jnp.float32).reshape(rows, d) * scale
-    # Row r of the flattened (TQ, G) block is query index r // G.
-    q_pos = pos0 + lax.broadcasted_iota(jnp.int32, (rows, chunk), 0) // g
+    # [TQ, Hq, D] -> [Hkv, TQ*G, D] (row r of a head-group = query r // G).
+    q = q_ref[...].astype(jnp.float32).reshape(tq, hkv, g, d)
+    q = jnp.transpose(q, (1, 0, 2, 3)).reshape(hkv, rows, d) * scale
+    q_pos = pos0 + lax.broadcasted_iota(jnp.int32, (1, rows, chunk), 1) // g
 
     def body(ci, carry):
         m, l, acc = carry
@@ -254,12 +257,12 @@ def _prefill_kernel(
         kcopies, vcopies = chunk_copies(ci, slot)
         for c in kcopies:
             c.wait()
-        k = k_buf[slot].reshape(chunk, d)
+        k = k_buf[slot].reshape(hkv, chunk, d)
         s = lax.dot_general(
             q, k.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [rows, chunk]
-        kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [Hkv, rows, chunk]
+        kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
         s = jnp.where(mask, s, MASK_VALUE)
 
@@ -271,21 +274,22 @@ def _prefill_kernel(
 
         for c in vcopies:
             c.wait()
-        v = v_buf[slot].reshape(chunk, d)
+        v = v_buf[slot].reshape(hkv, chunk, d)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)      # [rows, D]
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)      # [Hkv, rows, D]
         acc = acc * alpha + o_curr
         return m_next, l_next, acc
 
-    m0 = jnp.full((rows, 1), MASK_VALUE, jnp.float32)
-    l0 = jnp.zeros((rows, 1), jnp.float32)
-    acc0 = jnp.zeros((rows, d), jnp.float32)
+    m0 = jnp.full((hkv, rows, 1), MASK_VALUE, jnp.float32)
+    l0 = jnp.zeros((hkv, rows, 1), jnp.float32)
+    acc0 = jnp.zeros((hkv, rows, d), jnp.float32)
     m, l, acc = lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
 
     out = acc / jnp.where(l == 0.0, 1.0, l)
-    o_ref[...] = out.reshape(tq, g, d).astype(o_ref.dtype)
+    out = out.reshape(hkv, tq, g, d).transpose(1, 0, 2, 3)
+    o_ref[...] = out.reshape(tq, hkv * g, d).astype(o_ref.dtype)
 
 
 @functools.partial(
@@ -321,18 +325,18 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
 
     kernel = functools.partial(
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        tq=q_tile, g=g, d=d)
+        tq=q_tile, hkv=hkv, g=g, d=d)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
-        grid=(nt, hkv),
+        grid=(nt,),
         in_specs=[
-            pl.BlockSpec((q_tile, g, d), lambda ti, hi, *_: (ti, hi, 0)),
+            pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((q_tile, g, d), lambda ti, hi, *_: (ti, hi, 0)),
+        out_specs=pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -342,7 +346,7 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
         out_shape=jax.ShapeDtypeStruct((t, hq, d), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables, q, cache)
 
