@@ -1,3 +1,4 @@
+import logging; logging.basicConfig(level=logging.INFO)
 import time, numpy as np
 from nanovllm_tpu.config import Config
 from nanovllm_tpu.engine.model_runner import ModelRunner

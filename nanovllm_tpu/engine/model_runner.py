@@ -109,7 +109,22 @@ class ModelRunner:
         return (mc.num_hidden_layers * 2 * mc.num_key_value_heads
                 * self.config.kvcache_block_size * mc.head_dim * itemsize)
 
+    # Fallback HBM sizes when the runtime exposes no memory_stats (the axon
+    # tunnel returns None). Matched by substring of device_kind.
+    HBM_BY_KIND = {
+        "v5 lite": 16 << 30, "v5e": 16 << 30,
+        "v5p": 95 << 30, "v5": 95 << 30,
+        "v4": 32 << 30,
+        "v6 lite": 32 << 30, "v6e": 32 << 30,
+        "v3": 16 << 30, "v2": 8 << 30,
+    }
+
+    def _params_bytes(self) -> int:
+        return sum(x.size * x.dtype.itemsize
+                   for x in jax.tree.leaves(self.params))
+
     def _hbm_budget(self) -> int:
+        import os
         cfg = self.config
         dev = self.mesh.devices.flat[0]
         stats = None
@@ -117,10 +132,20 @@ class ModelRunner:
             stats = dev.memory_stats()
         except Exception:
             pass
-        if not stats or "bytes_limit" not in stats:
-            return 2 << 30  # CPU/test fallback: 2 GiB of pages
-        limit = stats["bytes_limit"]
-        in_use = stats.get("bytes_in_use", 0)
+        env_gb = os.environ.get("NANOVLLM_HBM_GB")
+        if stats and "bytes_limit" in stats:
+            limit = stats["bytes_limit"]
+            in_use = stats.get("bytes_in_use", self._params_bytes())
+        elif env_gb:
+            limit = int(float(env_gb) * (1 << 30))
+            in_use = self._params_bytes()
+        else:
+            kind = getattr(dev, "device_kind", "") or ""
+            limit = next((v for k, v in self.HBM_BY_KIND.items()
+                          if k in kind.lower()), 0)
+            if not limit:
+                return 2 << 30  # CPU/test fallback: 2 GiB of pages
+            in_use = self._params_bytes()
         # Static activation headroom: prefill at the max token bucket
         # dominates (hidden + q/k/v + mlp intermediates + fp32 logits).
         mc = cfg.model_config
@@ -219,17 +244,23 @@ class ModelRunner:
         return fn
 
     def bucket_key(self, seqs, is_prefill: bool, num_steps: int = 1):
+        """Fewer distinct buckets = fewer compiles. The block-table width is
+        always the full pages_per_seq (the Pallas kernels mask by context
+        length at zero cost), and prefill qmax only matters to the dense ref
+        backend."""
         cfg = self.config
-        max_pages = max(s2.num_blocks for s2 in seqs)
-        pk = min(next_pow2(max_pages), next_pow2(cfg.pages_per_seq))
+        pk = cfg.pages_per_seq
         if is_prefill:
             tq = cfg.prefill_q_tile
             total = sum(cdiv(len(s) - s.num_cached_tokens, tq) * tq
                         for s in seqs)
             t = next_pow2(total, max(128, tq))
             s = min(next_pow2(len(seqs)), next_pow2(cfg.max_num_seqs))
-            qmax = min(next_pow2(max(len(s2) - s2.num_cached_tokens
-                                     for s2 in seqs)), t)
+            if cfg.attn_backend == "ref":
+                qmax = min(next_pow2(max(len(s2) - s2.num_cached_tokens
+                                         for s2 in seqs), 256), t)
+            else:
+                qmax = t  # unused by the Pallas ragged prefill
             return (True, t, s, qmax, pk, 1)
         s = min(next_bucket(len(seqs), DECODE_BUCKETS),
                 next_pow2(cfg.max_num_seqs))

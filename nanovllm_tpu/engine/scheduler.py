@@ -94,6 +94,9 @@ class Scheduler:
             # Never write KV past max_model_len capacity.
             k = max(1, min(k, min(self.max_model_len - len(s) + 1
                                   for s in self.running)))
+            # Round down to a power of two so the K-step jit bucket count
+            # stays logarithmic as sequences approach max_model_len.
+            k = 1 << (k.bit_length() - 1)
         num_preempted = 0
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()
