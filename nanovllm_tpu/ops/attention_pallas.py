@@ -1,20 +1,15 @@
 """Pallas paged-attention backend.
 
 TPU-native re-design of the reference's from-scratch Triton backend
-(nanovllm/layers/attention_triton.py): the paged decode kernel streams
-block-table-indexed KV pages HBM→VMEM with double-buffered async DMA and an
-online softmax (the capability of attention_triton.py:235-343, but tile-wise
-DMA streaming instead of scalar per-token loads), and the decode grid packs
-all KV heads of a sequence into one program so every chunk issues
-2*Hkv*pages_per_chunk concurrent page DMAs — decode attention is
-HBM-bandwidth-bound, so DMA queue depth is the lever.
+(nanovllm/layers/attention_triton.py): both kernels stream block-table-
+indexed KV pages HBM→VMEM with double-buffered async DMA and an online
+softmax (the capability of attention_triton.py:101-343, but tile-wise DMA
+streaming instead of scalar per-token loads).
 
-The kernels read straight from the FULL flat-slot cache
-[L, 2, Hkv, num_slots, D] with a scalar-prefetched layer index — no
-per-layer slicing ever touches the cache (see ops/kv_cache.py).
-
-Prefill currently routes to the XLA reference path (dense gather); the ragged
-Pallas prefill kernel lands next.
+The cache is the 2-D row layout of ops/kv_cache.py: one page is ONE
+contiguous [page_size, Hkv*D] block, so each chunk needs only
+2*pages_per_chunk DMAs covering every KV head, and the kernels never slice
+the cache per layer (a scalar-prefetched layer index offsets the rows).
 """
 
 from __future__ import annotations
@@ -33,6 +28,23 @@ from nanovllm_tpu.ops.kv_cache import write_kv
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size, k_base, v_base,
+                     k_buf, v_buf, sems):
+    """Build the per-chunk page-copy descriptors (shared by both kernels)."""
+    def chunk_copies(chunk_idx, slot):
+        kcopies, vcopies = [], []
+        for i in range(ppc):
+            page = bt_ref[si, chunk_idx * ppc + i]
+            kcopies.append(pltpu.make_async_copy(
+                cache_ref.at[pl.ds(k_base + page * page_size, page_size)],
+                k_buf.at[slot, i], sems.at[slot, 0]))
+            vcopies.append(pltpu.make_async_copy(
+                cache_ref.at[pl.ds(v_base + page * page_size, page_size)],
+                v_buf.at[slot, i], sems.at[slot, 1]))
+        return kcopies, vcopies
+    return chunk_copies
+
+
 def _decode_kernel(
     # scalar prefetch
     layer_ref,      # i32[1]
@@ -40,40 +52,31 @@ def _decode_kernel(
     bt_ref,         # i32[S, pages_per_seq]
     # inputs
     q_ref,          # [1, Hq, D] (VMEM block for this seq)
-    cache_ref,      # [L, 2, Hkv, num_slots, D] (HBM)
+    cache_ref,      # [L*2*num_slots, Hkv*D] (HBM)
     # output
     o_ref,          # [1, Hq, D]
     # scratch
-    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
-    v_buf,          # VMEM [2, Hkv, ppc, page_size, D]
+    k_buf,          # VMEM [2, ppc, page_size, Hkv*D]
+    v_buf,
     sems,           # DMA sems [2, 2]
     *,
     scale: float,
     page_size: int,
-    ppc: int,       # pages per chunk
+    ppc: int,
     hkv: int,
-    g: int,         # q heads per kv head
+    g: int,
     d: int,
+    num_slots: int,
 ):
     si = pl.program_id(0)
     li = layer_ref[0]
+    k_base = li * 2 * num_slots
+    v_base = k_base + num_slots
     ctx = ctx_ref[si]
     chunk = ppc * page_size
     n_chunks = lax.div(ctx + chunk - 1, chunk)
-
-    def chunk_copies(chunk_idx, slot):
-        kcopies, vcopies = [], []
-        for h in range(hkv):
-            for i in range(ppc):
-                page = bt_ref[si, chunk_idx * ppc + i]
-                start = page * page_size
-                kcopies.append(pltpu.make_async_copy(
-                    cache_ref.at[li, 0, h, pl.ds(start, page_size)],
-                    k_buf.at[slot, h, i], sems.at[slot, 0]))
-                vcopies.append(pltpu.make_async_copy(
-                    cache_ref.at[li, 1, h, pl.ds(start, page_size)],
-                    v_buf.at[slot, h, i], sems.at[slot, 1]))
-        return kcopies, vcopies
+    chunk_copies = _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size,
+                                    k_base, v_base, k_buf, v_buf, sems)
 
     def start_chunk(chunk_idx, slot):
         kcopies, vcopies = chunk_copies(chunk_idx, slot)
@@ -94,14 +97,13 @@ def _decode_kernel(
         def _():
             start_chunk(ci + 1, lax.rem(ci + 1, 2))
 
-        # Wait for this chunk's K, compute scores while V is still in flight.
         kcopies, vcopies = chunk_copies(ci, slot)
         for c in kcopies:
             c.wait()
-        k = k_buf[slot].reshape(hkv, chunk, d)
+        k = k_buf[slot].reshape(chunk, hkv, d)
         s = lax.dot_general(
             q, k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
             preferred_element_type=jnp.float32)      # [Hkv, G, chunk]
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < ctx, s, MASK_VALUE)
@@ -114,10 +116,10 @@ def _decode_kernel(
 
         for c in vcopies:
             c.wait()
-        v = v_buf[slot].reshape(hkv, chunk, d)
+        v = v_buf[slot].reshape(chunk, hkv, d)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
             preferred_element_type=jnp.float32)      # [Hkv, G, D]
         acc = acc * alpha + o_curr
         return m_next, l_next, acc
@@ -133,16 +135,17 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "page_size", "pages_per_chunk", "interpret"))
+    static_argnames=("scale", "page_size", "num_slots", "pages_per_chunk",
+                     "interpret"))
 def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
-                           *, scale: float, page_size: int,
+                           *, scale: float, page_size: int, num_slots: int,
                            pages_per_chunk: int = 0,
                            interpret: bool = False):
-    """q: [S, Hq, D]; cache: [L, 2, Hkv, num_slots, D]; layer_i: i32 scalar;
+    """q: [S, Hq, D]; cache: [L*2*num_slots, Hkv*D]; layer_i: i32 scalar;
     context_lens: i32[S]; block_tables: i32[S, pages_per_seq].
     Returns [S, Hq, D]."""
     s, hq, d = q.shape
-    hkv = cache.shape[2]
+    hkv = cache.shape[1] // d
     g = hq // hkv
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
@@ -154,7 +157,7 @@ def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        hkv=hkv, g=g, d=d)
+        hkv=hkv, g=g, d=d, num_slots=num_slots)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s,),
@@ -164,8 +167,8 @@ def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
+            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -190,12 +193,12 @@ def _prefill_kernel(
     # inputs
     q_ref,          # [TQ, Hq, D] q-tile (all heads; Hq spans the full axis
     #                 to satisfy the TPU (8,128) block-tiling constraint)
-    cache_ref,      # [L, 2, Hkv, num_slots, D] (HBM)
+    cache_ref,      # [L*2*num_slots, Hkv*D] (HBM)
     # output
     o_ref,          # [TQ, Hq, D]
     # scratch
-    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
-    v_buf,          # VMEM [2, Hkv, ppc, page_size, D]
+    k_buf,          # VMEM [2, ppc, page_size, Hkv*D]
+    v_buf,
     sems,           # DMA sems [2, 2]
     *,
     scale: float,
@@ -205,6 +208,7 @@ def _prefill_kernel(
     hkv: int,
     g: int,
     d: int,
+    num_slots: int,
 ):
     ti = pl.program_id(0)
     li = layer_ref[0]
@@ -216,20 +220,10 @@ def _prefill_kernel(
     kv_hi = jnp.minimum(pos0 + tq, ctx)
     chunk = ppc * page_size
     n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
-
-    def chunk_copies(chunk_idx, slot):
-        kcopies, vcopies = [], []
-        for h in range(hkv):
-            for i in range(ppc):
-                page = bt_ref[si, chunk_idx * ppc + i]
-                start = page * page_size
-                kcopies.append(pltpu.make_async_copy(
-                    cache_ref.at[li, 0, h, pl.ds(start, page_size)],
-                    k_buf.at[slot, h, i], sems.at[slot, 0]))
-                vcopies.append(pltpu.make_async_copy(
-                    cache_ref.at[li, 1, h, pl.ds(start, page_size)],
-                    v_buf.at[slot, h, i], sems.at[slot, 1]))
-        return kcopies, vcopies
+    k_base = li * 2 * num_slots
+    v_base = k_base + num_slots
+    chunk_copies = _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size,
+                                    k_base, v_base, k_buf, v_buf, sems)
 
     def start_chunk(chunk_idx, slot):
         kcopies, vcopies = chunk_copies(chunk_idx, slot)
@@ -257,10 +251,10 @@ def _prefill_kernel(
         kcopies, vcopies = chunk_copies(ci, slot)
         for c in kcopies:
             c.wait()
-        k = k_buf[slot].reshape(hkv, chunk, d)
+        k = k_buf[slot].reshape(chunk, hkv, d)
         s = lax.dot_general(
             q, k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
             preferred_element_type=jnp.float32)      # [Hkv, rows, chunk]
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
@@ -274,10 +268,10 @@ def _prefill_kernel(
 
         for c in vcopies:
             c.wait()
-        v = v_buf[slot].reshape(hkv, chunk, d)
+        v = v_buf[slot].reshape(chunk, hkv, d)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
             preferred_element_type=jnp.float32)      # [Hkv, rows, D]
         acc = acc * alpha + o_curr
         return m_next, l_next, acc
@@ -294,11 +288,11 @@ def _prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "page_size", "q_tile", "pages_per_chunk",
-                     "interpret"))
+    static_argnames=("scale", "page_size", "num_slots", "q_tile",
+                     "pages_per_chunk", "interpret"))
 def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
                              context_lens, block_tables, *, scale: float,
-                             page_size: int, q_tile: int,
+                             page_size: int, num_slots: int, q_tile: int,
                              pages_per_chunk: int = 0,
                              interpret: bool = False):
     """Ragged varlen causal prefill over the paged cache (cached prefixes
@@ -309,7 +303,7 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
     q: [T, Hq, D] flat tokens, each sequence's segment aligned to q_tile;
     tile_seq/tile_pos0: i32[T // q_tile]. Returns [T, Hq, D]."""
     t, hq, d = q.shape
-    hkv = cache.shape[2]
+    hkv = cache.shape[1] // d
     g = hq // hkv
     nt = t // q_tile
     pages_per_seq = block_tables.shape[1]
@@ -325,7 +319,7 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
 
     kernel = functools.partial(
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        tq=q_tile, hkv=hkv, g=g, d=d)
+        tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt,),
@@ -335,8 +329,8 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
         ],
         out_specs=pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
+            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -352,18 +346,20 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
 
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
-                     max_q_len, num_gather_pages, page_size, q_tile=128,
-                     interpret: bool = False):
+                     max_q_len, num_gather_pages, page_size, num_slots,
+                     q_tile=128, interpret: bool = False):
     """Backend entry: write-through KV scatter, then the paged Pallas kernel
     (ragged prefill or decode)."""
-    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping)
+    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots)
     if is_prefill:
         out = ragged_prefill_attention(
             q, cache, layer_i, meta.tile_seq, meta.tile_pos0,
             meta.context_lens, meta.block_tables, scale=scale,
-            page_size=page_size, q_tile=q_tile, interpret=interpret)
+            page_size=page_size, num_slots=num_slots, q_tile=q_tile,
+            interpret=interpret)
     else:
         out = paged_decode_attention(
             q, cache, layer_i, meta.context_lens, meta.block_tables,
-            scale=scale, page_size=page_size, interpret=interpret)
+            scale=scale, page_size=page_size, num_slots=num_slots,
+            interpret=interpret)
     return out, cache

@@ -22,9 +22,10 @@ NEG_INF = float("-inf")
 
 
 def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
-                  max_q_len: int, num_gather_pages: int, page_size: int):
-    """q: [T, Hq, D]; k, v: [T, Hkv, D]; cache: [L, 2, Hkv, num_slots, D]
-    (full cache — see ops/kv_cache.py for why it is never pre-sliced).
+                  max_q_len: int, num_gather_pages: int, page_size: int,
+                  num_slots: int):
+    """q: [T, Hq, D]; k, v: [T, Hkv, D]; cache: [L*2*num_slots, Hkv*D]
+    (full 2-D row cache — see ops/kv_cache.py for the layout rationale).
 
     Returns (out [T, Hq, D], updated cache).
     """
@@ -34,9 +35,9 @@ def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
     s = meta.block_tables.shape[0]
     qmax = max_q_len
 
-    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping)
+    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots)
     kd, vd = gather_pages(cache, layer_i, meta.block_tables,
-                          num_gather_pages, page_size)
+                          num_gather_pages, page_size, num_slots, hkv)
     kmax = kd.shape[2]
 
     # Densify flat ragged queries into [S(+dump), Qmax, Hq, D].

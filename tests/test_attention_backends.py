@@ -1,8 +1,6 @@
 """Backend-vs-backend equivalence: the Pallas paged kernels (run in TPU
-interpreter mode on CPU) must match the XLA reference backend — the
-reference's implicit verification method made explicit (SURVEY §4)."""
-
-import functools
+interpreter mode on CPU) must match dense references — the reference's
+implicit verification method made explicit (SURVEY §4)."""
 
 import jax
 import jax.numpy as jnp
@@ -11,16 +9,22 @@ import pytest
 
 from nanovllm_tpu.ops.attention_pallas import (
     paged_decode_attention, ragged_prefill_attention)
-from nanovllm_tpu.ops.kv_cache import gather_pages
+from nanovllm_tpu.ops.kv_cache import create_kv_cache, gather_pages
 
 
-def ref_decode(q, cache, layer_i, context_lens, block_tables, page_size, scale):
+def make_cache(key, num_layers, hkv, num_pages, page_size, d):
+    shape = (num_layers * 2 * num_pages * page_size, hkv * d)
+    return jax.random.normal(key, shape, jnp.float32)
+
+
+def ref_decode(q, cache, layer_i, context_lens, block_tables, page_size,
+               num_slots, scale):
     """Straightforward dense-gather reference for single-token decode."""
     s, hq, d = q.shape
-    hkv = cache.shape[2]
+    hkv = cache.shape[1] // d
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
-                          block_tables.shape[1], page_size)
+                          block_tables.shape[1], page_size, num_slots, hkv)
     kmax = kd.shape[2]
     qg = q.reshape(s, hkv, g, d).astype(jnp.float32)
     scores = jnp.einsum("shgd,shkd->shgk", qg, kd.astype(jnp.float32)) * scale
@@ -43,15 +47,14 @@ def ref_decode(q, cache, layer_i, context_lens, block_tables, page_size, scale):
 def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
     d = 128
     num_pages = s * pages_per_seq + 1
+    num_slots = num_pages * page_size
     key = jax.random.PRNGKey(0)
-    k1, _ = jax.random.split(key)
+    k1, k2 = jax.random.split(key)
     q = jax.random.normal(k1, (s, hq, d), jnp.float32)
     # 2-layer cache; exercise the scalar-prefetched layer index with layer 1.
-    cache = jax.random.normal(
-        key, (2, 2, hkv, num_pages * page_size, d), jnp.float32)
+    cache = make_cache(k2, 2, hkv, num_pages, page_size, d)
     layer_i = 1
     rng = np.random.default_rng(0)
-    # Distinct pages per seq; varied context lengths incl. partial pages.
     tables = rng.permutation(num_pages - 1)[: s * pages_per_seq].reshape(
         s, pages_per_seq).astype(np.int32) + 1
     max_ctx = pages_per_seq * page_size
@@ -64,9 +67,9 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
 
     out_pallas = paged_decode_attention(
         q, cache, layer_i, context_lens, block_tables, scale=scale,
-        page_size=page_size, interpret=True)
+        page_size=page_size, num_slots=num_slots, interpret=True)
     out_ref = ref_decode(q, cache, layer_i, context_lens, block_tables,
-                         page_size, scale)
+                         page_size, num_slots, scale)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -74,27 +77,28 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
 def test_paged_decode_pad_seq_zero_context():
     d, s, hq, hkv, page_size, pages_per_seq = 128, 4, 4, 2, 16, 4
     num_pages = 8
+    num_slots = num_pages * page_size
     q = jnp.ones((s, hq, d), jnp.float32)
-    cache = jnp.ones((1, 2, hkv, num_pages * page_size, d), jnp.float32)
+    cache = jnp.ones((1 * 2 * num_slots, hkv * d), jnp.float32)
     block_tables = jnp.zeros((s, pages_per_seq), jnp.int32)
     context_lens = jnp.array([16, 0, 5, 0], jnp.int32)  # pad seqs ctx=0
     out = paged_decode_attention(q, cache, 0, context_lens,
                                  block_tables, scale=0.1,
-                                 page_size=page_size, interpret=True)
+                                 page_size=page_size, num_slots=num_slots,
+                                 interpret=True)
     out = np.asarray(out)
     assert np.allclose(out[1], 0.0) and np.allclose(out[3], 0.0)
     assert np.allclose(out[0], 1.0, atol=1e-5)  # V all-ones -> weighted avg 1
 
 
 def ref_prefill(q, cache, layer_i, tile_seq, tile_pos0, context_lens,
-                block_tables, page_size, q_tile, scale):
+                block_tables, page_size, num_slots, q_tile, scale):
     """Dense causal reference over the paged cache for the ragged layout."""
     t, hq, d = q.shape
-    hkv = cache.shape[2]
+    hkv = cache.shape[1] // d
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
-                          block_tables.shape[1], page_size)
-    kmax = kd.shape[2]
+                          block_tables.shape[1], page_size, num_slots, hkv)
     nt = t // q_tile
     out = np.zeros((t, hq, d), np.float32)
     kd, vd = np.asarray(kd, np.float32), np.asarray(vd, np.float32)
@@ -123,21 +127,18 @@ def ref_prefill(q, cache, layer_i, tile_seq, tile_pos0, context_lens,
 def test_ragged_prefill_matches_dense():
     d, hq, hkv, page_size, pages_per_seq, q_tile = 128, 4, 2, 16, 8, 32
     # Two seqs: one with a cached prefix (pos0 > 0), one fresh + pad tiles.
-    # Layout: seq0 has 40 new tokens at positions 32..71 (32 cached), seq1
-    # has 20 new tokens at positions 0..19.
     t = 128  # 4 tiles of 32
     num_pages = 32
+    num_slots = num_pages * page_size
     key = jax.random.PRNGKey(1)
     k1, k2 = jax.random.split(key)
     q = jax.random.normal(k1, (t, hq, d), jnp.float32)
-    cache = jax.random.normal(
-        k2, (2, 2, hkv, num_pages * page_size, d), jnp.float32)
+    cache = make_cache(k2, 2, hkv, num_pages, page_size, d)
     layer_i = 1
     rng = np.random.default_rng(1)
     tables = rng.permutation(num_pages)[: 2 * pages_per_seq].reshape(
         2, pages_per_seq).astype(np.int32)
-    block_tables = jnp.asarray(np.vstack([tables, np.zeros((1, pages_per_seq),
-                                                           np.int32)]))[:2]
+    block_tables = jnp.asarray(tables)
     context_lens = jnp.asarray(np.array([72, 20], np.int32))
     tile_seq = jnp.asarray(np.array([0, 0, 1, 2], np.int32))  # 2 = pad seq
     tile_pos0 = jnp.asarray(np.array([32, 64, 0, -1], np.int32))
@@ -145,10 +146,11 @@ def test_ragged_prefill_matches_dense():
 
     out = ragged_prefill_attention(
         q, cache, layer_i, tile_seq, tile_pos0, context_lens, block_tables,
-        scale=scale, page_size=page_size, q_tile=q_tile, interpret=True)
+        scale=scale, page_size=page_size, num_slots=num_slots,
+        q_tile=q_tile, interpret=True)
     ref = ref_prefill(q, cache, layer_i, np.asarray(tile_seq),
                       np.asarray(tile_pos0), np.asarray(context_lens),
-                      block_tables, page_size, q_tile, scale)
+                      block_tables, page_size, num_slots, q_tile, scale)
     out = np.asarray(out)
     # Compare only real (attending) rows.
     for ti, (s_i, p0) in enumerate(zip([0, 0, 1], [32, 64, 0])):
@@ -159,3 +161,27 @@ def test_ragged_prefill_matches_dense():
             row = ti * q_tile + r
             np.testing.assert_allclose(out[row], ref[row], rtol=2e-5,
                                        atol=2e-5, err_msg=f"row {row}")
+
+
+def test_write_kv_roundtrip():
+    """write_kv rows land at the right (layer, k/v, slot) and pads drop."""
+    from nanovllm_tpu.ops.kv_cache import write_kv, kv_row_base
+    L, hkv, d, num_slots = 3, 2, 4, 32
+    cache = jnp.zeros((L * 2 * num_slots, hkv * d), jnp.float32)
+    t = 4
+    k = jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
+    v = -jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
+    slots = jnp.array([5, 9, num_slots, 0], jnp.int32)  # 3rd is a pad token
+    out = write_kv(cache, 1, k, v, slots, num_slots)
+    out = np.asarray(out)
+    base_k = kv_row_base(1, 0, num_slots)
+    base_v = kv_row_base(1, 1, num_slots)
+    np.testing.assert_array_equal(out[base_k + 5], np.asarray(k[0]).reshape(-1))
+    np.testing.assert_array_equal(out[base_v + 9], np.asarray(v[1]).reshape(-1))
+    np.testing.assert_array_equal(out[base_k + 0], np.asarray(k[3]).reshape(-1))
+    # Pad token dropped: the row right after layer-1 K region belongs to
+    # layer-1 V slot 0, already holding v[3] — ensure k[2] did NOT land there.
+    assert not np.allclose(out[base_v + 0], np.asarray(k[2]).reshape(-1))
+    # Layers 0 and 2 untouched.
+    assert np.all(out[: base_k] == 0)
+    assert np.all(out[kv_row_base(2, 0, num_slots):] == 0)

@@ -69,7 +69,8 @@ def run_ours(model_dir, token_chunks):
     logits_out = []
     t_bucket = 32
     attn = functools.partial(ref_attention, scale=scale, max_q_len=t_bucket,
-                             num_gather_pages=pages_per_seq, page_size=BS)
+                             num_gather_pages=pages_per_seq, page_size=BS,
+                             num_slots=num_slots)
     fwd_p = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn))
     raw = build_prefill_meta([seq], t_bucket, 2, BS, pages_per_seq, num_slots)
     meta = BatchMeta(**{k: jnp.asarray(v) for k, v in raw.items()})
@@ -77,7 +78,8 @@ def run_ours(model_dir, token_chunks):
     logits_out.append(np.asarray(logits[0]))
 
     attn_d = functools.partial(ref_attention, scale=scale, max_q_len=1,
-                               num_gather_pages=pages_per_seq, page_size=BS)
+                               num_gather_pages=pages_per_seq, page_size=BS,
+                             num_slots=num_slots)
     fwd_d = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn_d))
     for chunk in token_chunks[1:]:
         for tok in chunk:
@@ -128,10 +130,11 @@ def test_prefix_cached_prefill_matches_hf(hf_model_dir):
     bm = BlockManager(num_pages, BS)
     import functools
     scale = mc.head_dim ** -0.5
-    attn = functools.partial(ref_attention, scale=scale, max_q_len=32,
-                             num_gather_pages=pages_per_seq, page_size=BS)
-    fwd = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn))
     num_slots = num_pages * BS
+    attn = functools.partial(ref_attention, scale=scale, max_q_len=32,
+                             num_gather_pages=pages_per_seq, page_size=BS,
+                             num_slots=num_slots)
+    fwd = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn))
 
     sa = Sequence(prefix + tail_a, SamplingParams(), block_size=BS)
     bm.allocate(sa)
