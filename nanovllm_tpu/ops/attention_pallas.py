@@ -100,10 +100,10 @@ def _decode_kernel(
         kcopies, vcopies = chunk_copies(ci, slot)
         for c in kcopies:
             c.wait()
-        k = k_buf[slot].reshape(chunk, hkv, d)
+        k = jnp.transpose(k_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
         s = lax.dot_general(
             q, k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, G, chunk]
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < ctx, s, MASK_VALUE)
@@ -116,10 +116,10 @@ def _decode_kernel(
 
         for c in vcopies:
             c.wait()
-        v = v_buf[slot].reshape(chunk, hkv, d)
+        v = jnp.transpose(v_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, G, D]
         acc = acc * alpha + o_curr
         return m_next, l_next, acc
@@ -251,10 +251,10 @@ def _prefill_kernel(
         kcopies, vcopies = chunk_copies(ci, slot)
         for c in kcopies:
             c.wait()
-        k = k_buf[slot].reshape(chunk, hkv, d)
+        k = jnp.transpose(k_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
         s = lax.dot_general(
             q, k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (1,))),
+            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, rows, chunk]
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
@@ -268,10 +268,10 @@ def _prefill_kernel(
 
         for c in vcopies:
             c.wait()
-        v = v_buf[slot].reshape(chunk, hkv, d)
+        v = jnp.transpose(v_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (0,)), ((0,), (1,))),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, rows, D]
         acc = acc * alpha + o_curr
         return m_next, l_next, acc
