@@ -169,8 +169,8 @@ class ModelRunner:
                     cfg.num_kvcache_blocks, cfg.kvcache_block_size,
                     cfg.num_kvcache_blocks * self._kv_bytes_per_page() / 2**30)
         self.num_slots = cfg.num_kvcache_blocks * cfg.kvcache_block_size
-        shape = (mc.num_hidden_layers * 2 * self.num_slots,
-                 mc.num_key_value_heads * mc.head_dim)
+        shape = (mc.num_key_value_heads * mc.num_hidden_layers * 2
+                 * self.num_slots, mc.head_dim)
         self.kv_cache = jax.device_put(
             jnp.zeros(shape, self.kv_dtype), kv_cache_sharding(self.mesh))
 
@@ -185,13 +185,14 @@ class ModelRunner:
                 pallas_attention, scale=scale, is_prefill=is_prefill,
                 max_q_len=max_q_len, num_gather_pages=num_gather_pages,
                 page_size=page_size, num_slots=self.num_slots,
+                num_layers=mc.num_hidden_layers,
                 q_tile=self.config.prefill_q_tile,
                 interpret=self.mesh.devices.flat[0].platform == "cpu")
         from nanovllm_tpu.ops.attention_ref import ref_attention
         return functools.partial(
             ref_attention, scale=scale, max_q_len=max_q_len,
             num_gather_pages=num_gather_pages, page_size=page_size,
-            num_slots=self.num_slots)
+            num_slots=self.num_slots, num_layers=mc.num_hidden_layers)
 
     def _get_step_fn(self, key):
         fn = self._step_fns.get(key)

@@ -28,19 +28,24 @@ from nanovllm_tpu.ops.kv_cache import write_kv
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size, k_base, v_base,
-                     k_buf, v_buf, sems):
-    """Build the per-chunk page-copy descriptors (shared by both kernels)."""
+def _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size, li, hkv,
+                     num_layers, num_slots, k_buf, v_buf, sems):
+    """Per-chunk page-copy descriptors (shared by both kernels): one
+    contiguous [page_size, D] DMA per (kv head, page) — pages land directly
+    in [Hkv, ppc, page_size, D] buffers, no in-VMEM transpose."""
     def chunk_copies(chunk_idx, slot):
         kcopies, vcopies = [], []
-        for i in range(ppc):
-            page = bt_ref[si, chunk_idx * ppc + i]
-            kcopies.append(pltpu.make_async_copy(
-                cache_ref.at[pl.ds(k_base + page * page_size, page_size)],
-                k_buf.at[slot, i], sems.at[slot, 0]))
-            vcopies.append(pltpu.make_async_copy(
-                cache_ref.at[pl.ds(v_base + page * page_size, page_size)],
-                v_buf.at[slot, i], sems.at[slot, 1]))
+        for h in range(hkv):
+            k_base = ((h * num_layers + li) * 2) * num_slots
+            v_base = k_base + num_slots
+            for i in range(ppc):
+                page = bt_ref[si, chunk_idx * ppc + i]
+                kcopies.append(pltpu.make_async_copy(
+                    cache_ref.at[pl.ds(k_base + page * page_size, page_size)],
+                    k_buf.at[slot, h, i], sems.at[slot, 0]))
+                vcopies.append(pltpu.make_async_copy(
+                    cache_ref.at[pl.ds(v_base + page * page_size, page_size)],
+                    v_buf.at[slot, h, i], sems.at[slot, 1]))
         return kcopies, vcopies
     return chunk_copies
 
@@ -67,16 +72,16 @@ def _decode_kernel(
     g: int,
     d: int,
     num_slots: int,
+    num_layers: int,
 ):
     si = pl.program_id(0)
     li = layer_ref[0]
-    k_base = li * 2 * num_slots
-    v_base = k_base + num_slots
     ctx = ctx_ref[si]
     chunk = ppc * page_size
     n_chunks = lax.div(ctx + chunk - 1, chunk)
     chunk_copies = _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size,
-                                    k_base, v_base, k_buf, v_buf, sems)
+                                    li, hkv, num_layers, num_slots,
+                                    k_buf, v_buf, sems)
 
     def start_chunk(chunk_idx, slot):
         kcopies, vcopies = chunk_copies(chunk_idx, slot)
@@ -100,7 +105,7 @@ def _decode_kernel(
         kcopies, vcopies = chunk_copies(ci, slot)
         for c in kcopies:
             c.wait()
-        k = jnp.transpose(k_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
+        k = k_buf[slot].reshape(hkv, chunk, d)
         s = lax.dot_general(
             q, k.astype(jnp.float32),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -116,7 +121,7 @@ def _decode_kernel(
 
         for c in vcopies:
             c.wait()
-        v = jnp.transpose(v_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
+        v = v_buf[slot].reshape(hkv, chunk, d)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -135,29 +140,29 @@ def _decode_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "page_size", "num_slots", "pages_per_chunk",
-                     "interpret"))
+    static_argnames=("scale", "page_size", "num_slots", "num_layers",
+                     "pages_per_chunk", "interpret"))
 def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
                            *, scale: float, page_size: int, num_slots: int,
-                           pages_per_chunk: int = 0,
+                           num_layers: int, pages_per_chunk: int = 0,
                            interpret: bool = False):
     """q: [S, Hq, D]; cache: [L*2*num_slots, Hkv*D]; layer_i: i32 scalar;
     context_lens: i32[S]; block_tables: i32[S, pages_per_seq].
     Returns [S, Hq, D]."""
     s, hq, d = q.shape
-    hkv = cache.shape[1] // d
+    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
-        # Target ~128-token chunks (one MXU tile of KV rows).
-        pages_per_chunk = max(1, 128 // page_size)
+        # Target ~256-token chunks (fewer, larger DMA rounds).
+        pages_per_chunk = max(1, 256 // page_size)
     ppc = pages_per_chunk
     while pages_per_seq % ppc:
         ppc -= 1
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        hkv=hkv, g=g, d=d, num_slots=num_slots)
+        hkv=hkv, g=g, d=d, num_slots=num_slots, num_layers=num_layers)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s,),
@@ -167,8 +172,8 @@ def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
-            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -209,6 +214,7 @@ def _prefill_kernel(
     g: int,
     d: int,
     num_slots: int,
+    num_layers: int,
 ):
     ti = pl.program_id(0)
     li = layer_ref[0]
@@ -220,10 +226,9 @@ def _prefill_kernel(
     kv_hi = jnp.minimum(pos0 + tq, ctx)
     chunk = ppc * page_size
     n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
-    k_base = li * 2 * num_slots
-    v_base = k_base + num_slots
     chunk_copies = _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size,
-                                    k_base, v_base, k_buf, v_buf, sems)
+                                    li, hkv, num_layers, num_slots,
+                                    k_buf, v_buf, sems)
 
     def start_chunk(chunk_idx, slot):
         kcopies, vcopies = chunk_copies(chunk_idx, slot)
@@ -251,7 +256,7 @@ def _prefill_kernel(
         kcopies, vcopies = chunk_copies(ci, slot)
         for c in kcopies:
             c.wait()
-        k = jnp.transpose(k_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
+        k = k_buf[slot].reshape(hkv, chunk, d)
         s = lax.dot_general(
             q, k.astype(jnp.float32),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
@@ -268,7 +273,7 @@ def _prefill_kernel(
 
         for c in vcopies:
             c.wait()
-        v = jnp.transpose(v_buf[slot].reshape(chunk, hkv, d), (1, 0, 2))
+        v = v_buf[slot].reshape(hkv, chunk, d)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -288,12 +293,12 @@ def _prefill_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("scale", "page_size", "num_slots", "q_tile",
-                     "pages_per_chunk", "interpret"))
+    static_argnames=("scale", "page_size", "num_slots", "num_layers",
+                     "q_tile", "pages_per_chunk", "interpret"))
 def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
                              context_lens, block_tables, *, scale: float,
-                             page_size: int, num_slots: int, q_tile: int,
-                             pages_per_chunk: int = 0,
+                             page_size: int, num_slots: int, num_layers: int,
+                             q_tile: int, pages_per_chunk: int = 0,
                              interpret: bool = False):
     """Ragged varlen causal prefill over the paged cache (cached prefixes
     included — the reference's flash_attn_varlen_func with block_table,
@@ -303,12 +308,12 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
     q: [T, Hq, D] flat tokens, each sequence's segment aligned to q_tile;
     tile_seq/tile_pos0: i32[T // q_tile]. Returns [T, Hq, D]."""
     t, hq, d = q.shape
-    hkv = cache.shape[1] // d
+    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     nt = t // q_tile
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
-        pages_per_chunk = max(1, 128 // page_size)
+        pages_per_chunk = max(1, 256 // page_size)
     ppc = pages_per_chunk
     while pages_per_seq % ppc:
         ppc -= 1
@@ -319,7 +324,8 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
 
     kernel = functools.partial(
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots)
+        tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots,
+        num_layers=num_layers)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt,),
@@ -329,8 +335,8 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
         ],
         out_specs=pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
-            pltpu.VMEM((2, ppc, page_size, hkv * d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -347,19 +353,20 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
-                     q_tile=128, interpret: bool = False):
+                     num_layers, q_tile=128, interpret: bool = False):
     """Backend entry: write-through KV scatter, then the paged Pallas kernel
     (ragged prefill or decode)."""
-    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots)
+    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
+                     num_layers)
     if is_prefill:
         out = ragged_prefill_attention(
             q, cache, layer_i, meta.tile_seq, meta.tile_pos0,
             meta.context_lens, meta.block_tables, scale=scale,
-            page_size=page_size, num_slots=num_slots, q_tile=q_tile,
-            interpret=interpret)
+            page_size=page_size, num_slots=num_slots, num_layers=num_layers,
+            q_tile=q_tile, interpret=interpret)
     else:
         out = paged_decode_attention(
             q, cache, layer_i, meta.context_lens, meta.block_tables,
             scale=scale, page_size=page_size, num_slots=num_slots,
-            interpret=interpret)
+            num_layers=num_layers, interpret=interpret)
     return out, cache

@@ -23,8 +23,8 @@ NEG_INF = float("-inf")
 
 def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
                   max_q_len: int, num_gather_pages: int, page_size: int,
-                  num_slots: int):
-    """q: [T, Hq, D]; k, v: [T, Hkv, D]; cache: [L*2*num_slots, Hkv*D]
+                  num_slots: int, num_layers: int):
+    """q: [T, Hq, D]; k, v: [T, Hkv, D]; cache: [Hkv*L*2*num_slots, D]
     (full 2-D row cache — see ops/kv_cache.py for the layout rationale).
 
     Returns (out [T, Hq, D], updated cache).
@@ -35,9 +35,11 @@ def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
     s = meta.block_tables.shape[0]
     qmax = max_q_len
 
-    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots)
+    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
+                     num_layers)
     kd, vd = gather_pages(cache, layer_i, meta.block_tables,
-                          num_gather_pages, page_size, num_slots, hkv)
+                          num_gather_pages, page_size, num_slots, hkv,
+                          num_layers)
     kmax = kd.shape[2]
 
     # Densify flat ragged queries into [S(+dump), Qmax, Hq, D].

@@ -41,6 +41,6 @@ def param_shardings(mesh: Mesh) -> dict:
 
 
 def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    # [L*2*num_slots, kv_heads*head_dim] — shard the head-major minor dim
-    # (head-aligned contiguous chunks per device when Hkv % tp == 0).
-    return NamedSharding(mesh, P(None, "tp"))
+    # [Hkv*L*2*num_slots, head_dim] — rows are head-major, so row sharding
+    # is head-aligned contiguous per device when Hkv % tp == 0.
+    return NamedSharding(mesh, P("tp", None))

@@ -13,18 +13,19 @@ from nanovllm_tpu.ops.kv_cache import create_kv_cache, gather_pages
 
 
 def make_cache(key, num_layers, hkv, num_pages, page_size, d):
-    shape = (num_layers * 2 * num_pages * page_size, hkv * d)
+    shape = (hkv * num_layers * 2 * num_pages * page_size, d)
     return jax.random.normal(key, shape, jnp.float32)
 
 
 def ref_decode(q, cache, layer_i, context_lens, block_tables, page_size,
-               num_slots, scale):
+               num_slots, num_layers, scale):
     """Straightforward dense-gather reference for single-token decode."""
     s, hq, d = q.shape
-    hkv = cache.shape[1] // d
+    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
-                          block_tables.shape[1], page_size, num_slots, hkv)
+                          block_tables.shape[1], page_size, num_slots, hkv,
+                          num_layers)
     kmax = kd.shape[2]
     qg = q.reshape(s, hkv, g, d).astype(jnp.float32)
     scores = jnp.einsum("shgd,shkd->shgk", qg, kd.astype(jnp.float32)) * scale
@@ -67,9 +68,10 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
 
     out_pallas = paged_decode_attention(
         q, cache, layer_i, context_lens, block_tables, scale=scale,
-        page_size=page_size, num_slots=num_slots, interpret=True)
+        page_size=page_size, num_slots=num_slots, num_layers=2,
+        interpret=True)
     out_ref = ref_decode(q, cache, layer_i, context_lens, block_tables,
-                         page_size, num_slots, scale)
+                         page_size, num_slots, 2, scale)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
 
@@ -79,26 +81,27 @@ def test_paged_decode_pad_seq_zero_context():
     num_pages = 8
     num_slots = num_pages * page_size
     q = jnp.ones((s, hq, d), jnp.float32)
-    cache = jnp.ones((1 * 2 * num_slots, hkv * d), jnp.float32)
+    cache = jnp.ones((hkv * 1 * 2 * num_slots, d), jnp.float32)
     block_tables = jnp.zeros((s, pages_per_seq), jnp.int32)
     context_lens = jnp.array([16, 0, 5, 0], jnp.int32)  # pad seqs ctx=0
     out = paged_decode_attention(q, cache, 0, context_lens,
                                  block_tables, scale=0.1,
                                  page_size=page_size, num_slots=num_slots,
-                                 interpret=True)
+                                 num_layers=1, interpret=True)
     out = np.asarray(out)
     assert np.allclose(out[1], 0.0) and np.allclose(out[3], 0.0)
     assert np.allclose(out[0], 1.0, atol=1e-5)  # V all-ones -> weighted avg 1
 
 
 def ref_prefill(q, cache, layer_i, tile_seq, tile_pos0, context_lens,
-                block_tables, page_size, num_slots, q_tile, scale):
+                block_tables, page_size, num_slots, num_layers, q_tile, scale):
     """Dense causal reference over the paged cache for the ragged layout."""
     t, hq, d = q.shape
-    hkv = cache.shape[1] // d
+    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
-                          block_tables.shape[1], page_size, num_slots, hkv)
+                          block_tables.shape[1], page_size, num_slots, hkv,
+                          num_layers)
     nt = t // q_tile
     out = np.zeros((t, hq, d), np.float32)
     kd, vd = np.asarray(kd, np.float32), np.asarray(vd, np.float32)
@@ -146,11 +149,11 @@ def test_ragged_prefill_matches_dense():
 
     out = ragged_prefill_attention(
         q, cache, layer_i, tile_seq, tile_pos0, context_lens, block_tables,
-        scale=scale, page_size=page_size, num_slots=num_slots,
+        scale=scale, page_size=page_size, num_slots=num_slots, num_layers=2,
         q_tile=q_tile, interpret=True)
     ref = ref_prefill(q, cache, layer_i, np.asarray(tile_seq),
                       np.asarray(tile_pos0), np.asarray(context_lens),
-                      block_tables, page_size, num_slots, q_tile, scale)
+                      block_tables, page_size, num_slots, 2, q_tile, scale)
     out = np.asarray(out)
     # Compare only real (attending) rows.
     for ti, (s_i, p0) in enumerate(zip([0, 0, 1], [32, 64, 0])):
@@ -164,24 +167,26 @@ def test_ragged_prefill_matches_dense():
 
 
 def test_write_kv_roundtrip():
-    """write_kv rows land at the right (layer, k/v, slot) and pads drop."""
+    """write_kv rows land at the right (head, layer, k/v, slot); pads drop."""
     from nanovllm_tpu.ops.kv_cache import write_kv, kv_row_base
     L, hkv, d, num_slots = 3, 2, 4, 32
-    cache = jnp.zeros((L * 2 * num_slots, hkv * d), jnp.float32)
+    cache = jnp.zeros((hkv * L * 2 * num_slots, d), jnp.float32)
     t = 4
     k = jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     v = -jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     slots = jnp.array([5, 9, num_slots, 0], jnp.int32)  # 3rd is a pad token
-    out = write_kv(cache, 1, k, v, slots, num_slots)
+    out = write_kv(cache, 1, k, v, slots, num_slots, L)
     out = np.asarray(out)
-    base_k = kv_row_base(1, 0, num_slots)
-    base_v = kv_row_base(1, 1, num_slots)
-    np.testing.assert_array_equal(out[base_k + 5], np.asarray(k[0]).reshape(-1))
-    np.testing.assert_array_equal(out[base_v + 9], np.asarray(v[1]).reshape(-1))
-    np.testing.assert_array_equal(out[base_k + 0], np.asarray(k[3]).reshape(-1))
-    # Pad token dropped: the row right after layer-1 K region belongs to
-    # layer-1 V slot 0, already holding v[3] — ensure k[2] did NOT land there.
-    assert not np.allclose(out[base_v + 0], np.asarray(k[2]).reshape(-1))
-    # Layers 0 and 2 untouched.
-    assert np.all(out[: base_k] == 0)
-    assert np.all(out[kv_row_base(2, 0, num_slots):] == 0)
+    for h in range(hkv):
+        base_k = kv_row_base(h, 1, 0, L, num_slots)
+        base_v = kv_row_base(h, 1, 1, L, num_slots)
+        np.testing.assert_array_equal(out[base_k + 5], np.asarray(k[0, h]))
+        np.testing.assert_array_equal(out[base_v + 9], np.asarray(v[1, h]))
+        np.testing.assert_array_equal(out[base_k + 0], np.asarray(k[3, h]))
+        # Pad token dropped: ensure k[2] did not corrupt the V region.
+        assert not np.allclose(out[base_v + 0], np.asarray(k[2, h]))
+        # This head, layers 0 and 2 untouched.
+        assert np.all(out[kv_row_base(h, 0, 0, L, num_slots):
+                          kv_row_base(h, 1, 0, L, num_slots)] == 0)
+        assert np.all(out[kv_row_base(h, 2, 0, L, num_slots):
+                          kv_row_base(h, 2, 2, L, num_slots)] == 0)

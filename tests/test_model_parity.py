@@ -70,7 +70,8 @@ def run_ours(model_dir, token_chunks):
     t_bucket = 32
     attn = functools.partial(ref_attention, scale=scale, max_q_len=t_bucket,
                              num_gather_pages=pages_per_seq, page_size=BS,
-                             num_slots=num_slots)
+                             num_slots=num_slots,
+                             num_layers=mc.num_hidden_layers)
     fwd_p = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn))
     raw = build_prefill_meta([seq], t_bucket, 2, BS, pages_per_seq, num_slots)
     meta = BatchMeta(**{k: jnp.asarray(v) for k, v in raw.items()})
@@ -79,7 +80,8 @@ def run_ours(model_dir, token_chunks):
 
     attn_d = functools.partial(ref_attention, scale=scale, max_q_len=1,
                                num_gather_pages=pages_per_seq, page_size=BS,
-                             num_slots=num_slots)
+                             num_slots=num_slots,
+                             num_layers=mc.num_hidden_layers)
     fwd_d = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn_d))
     for chunk in token_chunks[1:]:
         for tok in chunk:
@@ -133,7 +135,8 @@ def test_prefix_cached_prefill_matches_hf(hf_model_dir):
     num_slots = num_pages * BS
     attn = functools.partial(ref_attention, scale=scale, max_q_len=32,
                              num_gather_pages=pages_per_seq, page_size=BS,
-                             num_slots=num_slots)
+                             num_slots=num_slots,
+                             num_layers=mc.num_hidden_layers)
     fwd = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn))
 
     sa = Sequence(prefix + tail_a, SamplingParams(), block_size=BS)
