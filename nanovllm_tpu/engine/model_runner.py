@@ -106,8 +106,11 @@ class ModelRunner:
     def _kv_bytes_per_page(self) -> int:
         mc = self.config.model_config
         itemsize = jnp.dtype(self.kv_dtype).itemsize
+        per_row = mc.head_dim * itemsize
+        if self.kv_dtype == jnp.int8:
+            per_row += 4  # per-row f32 scale
         return (mc.num_hidden_layers * 2 * mc.num_key_value_heads
-                * self.config.kvcache_block_size * mc.head_dim * itemsize)
+                * self.config.kvcache_block_size * per_row)
 
     # Fallback HBM sizes when the runtime exposes no memory_stats (the axon
     # tunnel returns None). Matched by substring of device_kind.
@@ -169,10 +172,16 @@ class ModelRunner:
                     cfg.num_kvcache_blocks, cfg.kvcache_block_size,
                     cfg.num_kvcache_blocks * self._kv_bytes_per_page() / 2**30)
         self.num_slots = cfg.num_kvcache_blocks * cfg.kvcache_block_size
-        shape = (mc.num_key_value_heads * mc.num_hidden_layers * 2
-                 * self.num_slots, mc.head_dim)
-        self.kv_cache = jax.device_put(
-            jnp.zeros(shape, self.kv_dtype), kv_cache_sharding(self.mesh))
+        from nanovllm_tpu.ops.kv_cache import create_kv_cache
+        cache = create_kv_cache(
+            mc.num_hidden_layers, mc.num_key_value_heads,
+            cfg.num_kvcache_blocks, cfg.kvcache_block_size, mc.head_dim,
+            self.kv_dtype)
+        shardings = kv_cache_sharding(self.mesh)
+        if cache["scales"].shape[0] == 1:  # replicate the dummy
+            shardings = dict(shardings,
+                             scales=NamedSharding(self.mesh, P()))
+        self.kv_cache = jax.device_put(cache, shardings)
 
     # ---------------------------------------------------------- step fns
     def _attn_fn(self, is_prefill: bool, max_q_len: int, num_gather_pages: int):

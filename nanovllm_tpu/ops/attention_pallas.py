@@ -28,11 +28,13 @@ from nanovllm_tpu.ops.kv_cache import write_kv
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size, li, hkv,
-                     num_layers, num_slots, k_buf, v_buf, sems):
+def _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc, page_size, li,
+                     hkv, num_layers, num_slots, k_buf, v_buf, ks_buf, vs_buf,
+                     sems, quantized):
     """Per-chunk page-copy descriptors (shared by both kernels): one
     contiguous [page_size, D] DMA per (kv head, page) — pages land directly
-    in [Hkv, ppc, page_size, D] buffers, no in-VMEM transpose."""
+    in [Hkv, ppc, page_size, D] buffers, no in-VMEM transpose. INT8 mode
+    additionally streams the per-row scales."""
     def chunk_copies(chunk_idx, slot):
         kcopies, vcopies = [], []
         for h in range(hkv):
@@ -46,6 +48,15 @@ def _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size, li, hkv,
                 vcopies.append(pltpu.make_async_copy(
                     cache_ref.at[pl.ds(v_base + page * page_size, page_size)],
                     v_buf.at[slot, h, i], sems.at[slot, 1]))
+                if quantized:
+                    kcopies.append(pltpu.make_async_copy(
+                        scales_ref.at[pl.ds(k_base + page * page_size,
+                                            page_size)],
+                        ks_buf.at[slot, h, i], sems.at[slot, 0]))
+                    vcopies.append(pltpu.make_async_copy(
+                        scales_ref.at[pl.ds(v_base + page * page_size,
+                                            page_size)],
+                        vs_buf.at[slot, h, i], sems.at[slot, 1]))
         return kcopies, vcopies
     return chunk_copies
 
@@ -57,12 +68,15 @@ def _decode_kernel(
     bt_ref,         # i32[S, pages_per_seq]
     # inputs
     q_ref,          # [1, Hq, D] (VMEM block for this seq)
-    cache_ref,      # [L*2*num_slots, Hkv*D] (HBM)
+    cache_ref,      # [Hkv*L*2*num_slots, D] (HBM)
+    scales_ref,     # f32[rows] (HBM; dummy [1] when not quantized)
     # output
     o_ref,          # [1, Hq, D]
     # scratch
-    k_buf,          # VMEM [2, ppc, page_size, Hkv*D]
+    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
     v_buf,
+    ks_buf,         # VMEM [2, Hkv, ppc, page_size] f32 (scales)
+    vs_buf,
     sems,           # DMA sems [2, 2]
     *,
     scale: float,
@@ -73,15 +87,17 @@ def _decode_kernel(
     d: int,
     num_slots: int,
     num_layers: int,
+    quantized: bool,
 ):
     si = pl.program_id(0)
     li = layer_ref[0]
     ctx = ctx_ref[si]
     chunk = ppc * page_size
     n_chunks = lax.div(ctx + chunk - 1, chunk)
-    chunk_copies = _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size,
-                                    li, hkv, num_layers, num_slots,
-                                    k_buf, v_buf, sems)
+    chunk_copies = _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc,
+                                    page_size, li, hkv, num_layers, num_slots,
+                                    k_buf, v_buf, ks_buf, vs_buf, sems,
+                                    quantized)
 
     def start_chunk(chunk_idx, slot):
         kcopies, vcopies = chunk_copies(chunk_idx, slot)
@@ -110,6 +126,9 @@ def _decode_kernel(
             q, k.astype(jnp.float32),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, G, chunk]
+        if quantized:
+            # Fold K row scales into the scores (chunk-size work, not D x).
+            s = s * ks_buf[slot].reshape(hkv, 1, chunk)
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < ctx, s, MASK_VALUE)
 
@@ -122,6 +141,9 @@ def _decode_kernel(
         for c in vcopies:
             c.wait()
         v = v_buf[slot].reshape(hkv, chunk, d)
+        if quantized:
+            # Fold V row scales into the probabilities.
+            p = p * vs_buf[slot].reshape(hkv, 1, chunk)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -142,16 +164,18 @@ def _decode_kernel(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
                      "pages_per_chunk", "interpret"))
-def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
-                           *, scale: float, page_size: int, num_slots: int,
-                           num_layers: int, pages_per_chunk: int = 0,
+def paged_decode_attention(q, cache, scales, layer_i, context_lens,
+                           block_tables, *, scale: float, page_size: int,
+                           num_slots: int, num_layers: int,
+                           pages_per_chunk: int = 0,
                            interpret: bool = False):
-    """q: [S, Hq, D]; cache: [L*2*num_slots, Hkv*D]; layer_i: i32 scalar;
-    context_lens: i32[S]; block_tables: i32[S, pages_per_seq].
-    Returns [S, Hq, D]."""
+    """q: [S, Hq, D]; cache: [Hkv*L*2*num_slots, D] (+ f32 row scales when
+    int8); layer_i: i32 scalar; context_lens: i32[S];
+    block_tables: i32[S, pages_per_seq]. Returns [S, Hq, D]."""
     s, hq, d = q.shape
     hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
+    quantized = cache.dtype == jnp.int8
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
         # Target ~256-token chunks (fewer, larger DMA rounds).
@@ -162,18 +186,22 @@ def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        hkv=hkv, g=g, d=d, num_slots=num_slots, num_layers=num_layers)
+        hkv=hkv, g=g, d=d, num_slots=num_slots, num_layers=num_layers,
+        quantized=quantized)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -185,7 +213,7 @@ def paged_decode_attention(q, cache, layer_i, context_lens, block_tables,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(layer_arr, context_lens, block_tables, q, cache)
+    )(layer_arr, context_lens, block_tables, q, cache, scales)
 
 
 def _prefill_kernel(
@@ -198,12 +226,15 @@ def _prefill_kernel(
     # inputs
     q_ref,          # [TQ, Hq, D] q-tile (all heads; Hq spans the full axis
     #                 to satisfy the TPU (8,128) block-tiling constraint)
-    cache_ref,      # [L*2*num_slots, Hkv*D] (HBM)
+    cache_ref,      # [Hkv*L*2*num_slots, D] (HBM)
+    scales_ref,     # f32[rows] (HBM; dummy [1] when not quantized)
     # output
     o_ref,          # [TQ, Hq, D]
     # scratch
-    k_buf,          # VMEM [2, ppc, page_size, Hkv*D]
+    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
     v_buf,
+    ks_buf,         # VMEM [2, Hkv, ppc, page_size] f32 (scales)
+    vs_buf,
     sems,           # DMA sems [2, 2]
     *,
     scale: float,
@@ -215,6 +246,7 @@ def _prefill_kernel(
     d: int,
     num_slots: int,
     num_layers: int,
+    quantized: bool,
 ):
     ti = pl.program_id(0)
     li = layer_ref[0]
@@ -226,9 +258,10 @@ def _prefill_kernel(
     kv_hi = jnp.minimum(pos0 + tq, ctx)
     chunk = ppc * page_size
     n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
-    chunk_copies = _mk_chunk_copies(cache_ref, bt_ref, si, ppc, page_size,
-                                    li, hkv, num_layers, num_slots,
-                                    k_buf, v_buf, sems)
+    chunk_copies = _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc,
+                                    page_size, li, hkv, num_layers, num_slots,
+                                    k_buf, v_buf, ks_buf, vs_buf, sems,
+                                    quantized)
 
     def start_chunk(chunk_idx, slot):
         kcopies, vcopies = chunk_copies(chunk_idx, slot)
@@ -261,6 +294,8 @@ def _prefill_kernel(
             q, k.astype(jnp.float32),
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, rows, chunk]
+        if quantized:
+            s = s * ks_buf[slot].reshape(hkv, 1, chunk)
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
         s = jnp.where(mask, s, MASK_VALUE)
@@ -274,6 +309,8 @@ def _prefill_kernel(
         for c in vcopies:
             c.wait()
         v = v_buf[slot].reshape(hkv, chunk, d)
+        if quantized:
+            p = p * vs_buf[slot].reshape(hkv, 1, chunk)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -295,7 +332,7 @@ def _prefill_kernel(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
                      "q_tile", "pages_per_chunk", "interpret"))
-def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
+def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
                              context_lens, block_tables, *, scale: float,
                              page_size: int, num_slots: int, num_layers: int,
                              q_tile: int, pages_per_chunk: int = 0,
@@ -310,6 +347,7 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
     t, hq, d = q.shape
     hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
+    quantized = cache.dtype == jnp.int8
     nt = t // q_tile
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
@@ -325,18 +363,21 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
     kernel = functools.partial(
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
         tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots,
-        num_layers=num_layers)
+        num_layers=num_layers, quantized=quantized)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
+            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -348,7 +389,7 @@ def ragged_prefill_attention(q, cache, layer_i, tile_seq, tile_pos0,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables, q, cache)
+    )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables, q, cache, scales)
 
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
@@ -360,13 +401,13 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      num_layers)
     if is_prefill:
         out = ragged_prefill_attention(
-            q, cache, layer_i, meta.tile_seq, meta.tile_pos0,
-            meta.context_lens, meta.block_tables, scale=scale,
+            q, cache["data"], cache["scales"], layer_i, meta.tile_seq,
+            meta.tile_pos0, meta.context_lens, meta.block_tables, scale=scale,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
             q_tile=q_tile, interpret=interpret)
     else:
         out = paged_decode_attention(
-            q, cache, layer_i, meta.context_lens, meta.block_tables,
-            scale=scale, page_size=page_size, num_slots=num_slots,
-            num_layers=num_layers, interpret=interpret)
+            q, cache["data"], cache["scales"], layer_i, meta.context_lens,
+            meta.block_tables, scale=scale, page_size=page_size,
+            num_slots=num_slots, num_layers=num_layers, interpret=interpret)
     return out, cache

@@ -40,7 +40,9 @@ def param_shardings(mesh: Mesh) -> dict:
     }
 
 
-def kv_cache_sharding(mesh: Mesh) -> NamedSharding:
-    # [Hkv*L*2*num_slots, head_dim] — rows are head-major, so row sharding
-    # is head-aligned contiguous per device when Hkv % tp == 0.
-    return NamedSharding(mesh, P("tp", None))
+def kv_cache_sharding(mesh: Mesh) -> dict:
+    # {"data": [Hkv*L*2*num_slots, head_dim], "scales": f32[rows]} — rows are
+    # head-major, so row sharding is head-aligned contiguous per device when
+    # Hkv % tp == 0. (Dummy [1] scales in bf16 mode are replicated.)
+    return {"data": NamedSharding(mesh, P("tp", None)),
+            "scales": NamedSharding(mesh, P("tp"))}

@@ -14,14 +14,15 @@ from nanovllm_tpu.ops.kv_cache import create_kv_cache, gather_pages
 
 def make_cache(key, num_layers, hkv, num_pages, page_size, d):
     shape = (hkv * num_layers * 2 * num_pages * page_size, d)
-    return jax.random.normal(key, shape, jnp.float32)
+    return {"data": jax.random.normal(key, shape, jnp.float32),
+            "scales": jnp.ones(1, jnp.float32)}
 
 
 def ref_decode(q, cache, layer_i, context_lens, block_tables, page_size,
                num_slots, num_layers, scale):
     """Straightforward dense-gather reference for single-token decode."""
     s, hq, d = q.shape
-    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
+    hkv = cache["data"].shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
                           block_tables.shape[1], page_size, num_slots, hkv,
@@ -67,9 +68,9 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
     scale = d ** -0.5
 
     out_pallas = paged_decode_attention(
-        q, cache, layer_i, context_lens, block_tables, scale=scale,
-        page_size=page_size, num_slots=num_slots, num_layers=2,
-        interpret=True)
+        q, cache["data"], cache["scales"], layer_i, context_lens,
+        block_tables, scale=scale, page_size=page_size, num_slots=num_slots,
+        num_layers=2, interpret=True)
     out_ref = ref_decode(q, cache, layer_i, context_lens, block_tables,
                          page_size, num_slots, 2, scale)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
@@ -84,8 +85,8 @@ def test_paged_decode_pad_seq_zero_context():
     cache = jnp.ones((hkv * 1 * 2 * num_slots, d), jnp.float32)
     block_tables = jnp.zeros((s, pages_per_seq), jnp.int32)
     context_lens = jnp.array([16, 0, 5, 0], jnp.int32)  # pad seqs ctx=0
-    out = paged_decode_attention(q, cache, 0, context_lens,
-                                 block_tables, scale=0.1,
+    out = paged_decode_attention(q, cache, jnp.ones(1, jnp.float32), 0,
+                                 context_lens, block_tables, scale=0.1,
                                  page_size=page_size, num_slots=num_slots,
                                  num_layers=1, interpret=True)
     out = np.asarray(out)
@@ -97,7 +98,7 @@ def ref_prefill(q, cache, layer_i, tile_seq, tile_pos0, context_lens,
                 block_tables, page_size, num_slots, num_layers, q_tile, scale):
     """Dense causal reference over the paged cache for the ragged layout."""
     t, hq, d = q.shape
-    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
+    hkv = cache["data"].shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
                           block_tables.shape[1], page_size, num_slots, hkv,
@@ -148,9 +149,9 @@ def test_ragged_prefill_matches_dense():
     scale = d ** -0.5
 
     out = ragged_prefill_attention(
-        q, cache, layer_i, tile_seq, tile_pos0, context_lens, block_tables,
-        scale=scale, page_size=page_size, num_slots=num_slots, num_layers=2,
-        q_tile=q_tile, interpret=True)
+        q, cache["data"], cache["scales"], layer_i, tile_seq, tile_pos0,
+        context_lens, block_tables, scale=scale, page_size=page_size,
+        num_slots=num_slots, num_layers=2, q_tile=q_tile, interpret=True)
     ref = ref_prefill(q, cache, layer_i, np.asarray(tile_seq),
                       np.asarray(tile_pos0), np.asarray(context_lens),
                       block_tables, page_size, num_slots, 2, q_tile, scale)
@@ -170,13 +171,14 @@ def test_write_kv_roundtrip():
     """write_kv rows land at the right (head, layer, k/v, slot); pads drop."""
     from nanovllm_tpu.ops.kv_cache import write_kv, kv_row_base
     L, hkv, d, num_slots = 3, 2, 4, 32
-    cache = jnp.zeros((hkv * L * 2 * num_slots, d), jnp.float32)
+    cache = {"data": jnp.zeros((hkv * L * 2 * num_slots, d), jnp.float32),
+             "scales": jnp.ones(1, jnp.float32)}
     t = 4
     k = jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     v = -jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     slots = jnp.array([5, 9, num_slots, 0], jnp.int32)  # 3rd is a pad token
     out = write_kv(cache, 1, k, v, slots, num_slots, L)
-    out = np.asarray(out)
+    out = np.asarray(out["data"])
     for h in range(hkv):
         base_k = kv_row_base(h, 1, 0, L, num_slots)
         base_v = kv_row_base(h, 1, 1, L, num_slots)
@@ -190,3 +192,46 @@ def test_write_kv_roundtrip():
                           kv_row_base(h, 1, 0, L, num_slots)] == 0)
         assert np.all(out[kv_row_base(h, 2, 0, L, num_slots):
                           kv_row_base(h, 2, 2, L, num_slots)] == 0)
+
+
+def test_int8_kv_quantized_decode_close_to_fp32():
+    """INT8 KV with per-row scales: decode output within quantization noise
+    of fp32 (scales folded into scores/probs, never into the KV stream)."""
+    from nanovllm_tpu.ops.kv_cache import create_kv_cache, write_kv
+    s_, hq, hkv, d, page_size, pps = 3, 4, 2, 128, 16, 4
+    num_pages = s_ * pps + 1
+    num_slots = num_pages * page_size
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    ctx_len = 40
+    q = jax.random.normal(kq, (s_, hq, d), jnp.float32)
+    rng = np.random.default_rng(3)
+    tables = jnp.asarray(rng.permutation(num_pages - 1)[: s_ * pps].reshape(
+        s_, pps).astype(np.int32) + 1)
+    context_lens = jnp.full((s_,), ctx_len, jnp.int32)
+
+    caches = {dt: create_kv_cache(1, hkv, num_pages, page_size, d, dt)
+              for dt in (jnp.float32, jnp.int8)}
+    # Write the same KV rows through write_kv for both dtypes.
+    for si in range(s_):
+        for pos in range(ctx_len):
+            pass
+    k_new = jax.random.normal(kk, (s_ * ctx_len, hkv, d), jnp.float32)
+    v_new = jax.random.normal(kv_, (s_ * ctx_len, hkv, d), jnp.float32)
+    pos = np.arange(ctx_len)
+    slots = np.concatenate([
+        np.asarray(tables[si])[pos // page_size] * page_size + pos % page_size
+        for si in range(s_)]).astype(np.int32)
+    for dt in caches:
+        caches[dt] = write_kv(caches[dt], 0, k_new, v_new,
+                              jnp.asarray(slots), num_slots, 1)
+
+    outs = {}
+    for dt, cache in caches.items():
+        outs[dt] = np.asarray(paged_decode_attention(
+            q, cache["data"], cache["scales"], 0, context_lens, tables,
+            scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
+            num_layers=1, interpret=True))
+    err = np.abs(outs[jnp.int8] - outs[jnp.float32]).max()
+    assert err < 0.05, f"int8 KV error too large: {err}"
+    assert not np.allclose(outs[jnp.int8], 0)

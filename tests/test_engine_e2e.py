@@ -144,3 +144,19 @@ def test_pallas_backend_matches_ref_backend_e2e():
         prompts, sp, use_tqdm=False)
     for a, b in zip(ref_out, pallas_out):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_int8_kv_cache_e2e_close_to_fp32():
+    """Full engine with INT8 KV: greedy output should track fp32 closely on a
+    tiny random model (exact match not guaranteed under quantization, but the
+    engine must run and produce mostly-identical tokens)."""
+    rng = np.random.default_rng(9)
+    prompts = [rng.integers(1, 127, size=20).tolist()]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    base = make_llm(attn_backend="pallas").generate(prompts, sp,
+                                                    use_tqdm=False)
+    quant = make_llm(attn_backend="pallas", kv_cache_dtype="int8").generate(
+        prompts, sp, use_tqdm=False)
+    matches = sum(a == b for a, b in zip(base[0]["token_ids"],
+                                         quant[0]["token_ids"]))
+    assert matches >= 6, (base[0]["token_ids"], quant[0]["token_ids"])
