@@ -8,15 +8,16 @@ from nanovllm_tpu.sampling_params import SamplingParams
 from bench import QWEN3_0_6B
 
 cfg = Config(model="", model_config=QWEN3_0_6B, max_model_len=2048,
-             max_num_batched_tokens=8192, max_num_seqs=48,
-             attn_backend="pallas", load_format="random", decode_steps=32)
+             max_num_batched_tokens=8192, 
+             attn_backend="pallas", load_format="random", decode_steps=32,
+             kv_cache_dtype="int8", max_num_seqs=64)
 runner = ModelRunner(cfg)
 print("pages:", cfg.num_kvcache_blocks, flush=True)
 sch = Scheduler(cfg)
 rng = np.random.default_rng(0)
 seqs = [Sequence(rng.integers(0, 151936, 1024).tolist(),
                  SamplingParams(max_tokens=768, ignore_eos=True),
-                 block_size=cfg.kvcache_block_size) for _ in range(48)]
+                 block_size=cfg.kvcache_block_size) for _ in range(64)]
 for s in seqs: sch.add(s)
 t0 = time.perf_counter()
 npre = 0

@@ -94,9 +94,14 @@ class ModelRunner:
             host_params = init_random_params(mc, self.dtype, cfg.seed)
         else:
             host_params = load_params(cfg.model, mc, self.dtype)
-        shardings = param_shardings(self.mesh)
+        if cfg.quant != "none":
+            from nanovllm_tpu.ops.quant import quantize_params
+            host_params = quantize_params(
+                host_params, 8 if cfg.quant == "int8" else 4)
+        shardings = param_shardings(self.mesh, host_params)
         self.params = jax.tree.map(
-            lambda a, s: jax.device_put(a, s), host_params, shardings)
+            lambda a, s: jax.device_put(jnp.asarray(a), s),
+            host_params, shardings)
         jax.block_until_ready(self.params)
         logger.info("weights %s in %.1fs",
                     "initialized" if use_random else "loaded",

@@ -43,6 +43,7 @@ from jax import lax
 
 from nanovllm_tpu.config import ModelConfig
 from nanovllm_tpu.ops.norm import add_rms_norm, rms_norm
+from nanovllm_tpu.ops.quant import qmm
 from nanovllm_tpu.ops.rope import apply_rope
 
 
@@ -55,21 +56,22 @@ def _layer(x, residual, lp, cache, layer_i, meta, cfg: ModelConfig, attn_fn):
 
     h, residual = add_rms_norm(x, residual, lp["input_ln"], eps)
 
-    q = (h @ lp["wq"]).reshape(t, hq, d)
-    k = (h @ lp["wk"]).reshape(t, hkv, d)
-    v = (h @ lp["wv"]).reshape(t, hkv, d)
+    q = qmm(h, lp["wq"]).reshape(t, hq, d)
+    k = qmm(h, lp["wk"]).reshape(t, hkv, d)
+    v = qmm(h, lp["wv"]).reshape(t, hkv, d)
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], eps)
         k = rms_norm(k, lp["k_norm"], eps)
     q, k = apply_rope(q, k, meta.positions, cfg.rope_theta)
 
     attn_out, cache = attn_fn(q, k, v, cache, layer_i, meta)
-    h = attn_out.reshape(t, hq * d) @ lp["o"]
+    h = qmm(attn_out.reshape(t, hq * d), lp["o"])
 
     h, residual = add_rms_norm(h, residual, lp["post_ln"], eps)
-    gate = h @ lp["gate"]
-    up = h @ lp["up"]
-    h = (jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up) @ lp["down"]
+    gate = qmm(h, lp["gate"])
+    up = qmm(h, lp["up"])
+    h = qmm(jax.nn.silu(gate.astype(jnp.float32)).astype(up.dtype) * up,
+            lp["down"])
     return h, residual, cache
 
 
@@ -82,7 +84,7 @@ def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
     slice/update-slice pair would materialize a full layer copy per layer per
     step (measured: it turns decode into an HBM-bandwidth cache memcpy).
     """
-    x = params["embed"][meta.input_ids].astype(params["layers"]["wq"].dtype)
+    x = params["embed"][meta.input_ids]
     residual = jnp.zeros_like(x)
 
     def body(carry, inputs):
@@ -100,6 +102,5 @@ def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
     # Only last-token rows feed the LM head (reference embed_head.py:62-65).
     last = x[meta.last_token_idx]  # [S, H]
     # bf16 matmul with fp32 accumulation on the MXU — no fp32 weight copy.
-    logits = jnp.matmul(last, params["lm_head"],
-                        preferred_element_type=jnp.float32)
+    logits = qmm(last, params["lm_head"], preferred=jnp.float32)
     return logits, kv_cache

@@ -52,11 +52,13 @@ def _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc, page_size, li,
                     kcopies.append(pltpu.make_async_copy(
                         scales_ref.at[pl.ds(k_base + page * page_size,
                                             page_size)],
-                        ks_buf.at[slot, h, i], sems.at[slot, 0]))
+                        ks_buf.at[slot, h, pl.ds(i * page_size, page_size)],
+                        sems.at[slot, 0]))
                     vcopies.append(pltpu.make_async_copy(
                         scales_ref.at[pl.ds(v_base + page * page_size,
                                             page_size)],
-                        vs_buf.at[slot, h, i], sems.at[slot, 1]))
+                        vs_buf.at[slot, h, pl.ds(i * page_size, page_size)],
+                        sems.at[slot, 1]))
         return kcopies, vcopies
     return chunk_copies
 
@@ -128,7 +130,7 @@ def _decode_kernel(
             preferred_element_type=jnp.float32)      # [Hkv, G, chunk]
         if quantized:
             # Fold K row scales into the scores (chunk-size work, not D x).
-            s = s * ks_buf[slot].reshape(hkv, 1, chunk)
+            s = s * ks_buf[slot][:, None, :]
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < ctx, s, MASK_VALUE)
 
@@ -143,7 +145,7 @@ def _decode_kernel(
         v = v_buf[slot].reshape(hkv, chunk, d)
         if quantized:
             # Fold V row scales into the probabilities.
-            p = p * vs_buf[slot].reshape(hkv, 1, chunk)
+            p = p * vs_buf[slot][:, None, :]
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -200,8 +202,8 @@ def paged_decode_attention(q, cache, scales, layer_i, context_lens,
         scratch_shapes=[
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
-            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -295,7 +297,7 @@ def _prefill_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, rows, chunk]
         if quantized:
-            s = s * ks_buf[slot].reshape(hkv, 1, chunk)
+            s = s * ks_buf[slot][:, None, :]
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
         s = jnp.where(mask, s, MASK_VALUE)
@@ -310,7 +312,7 @@ def _prefill_kernel(
             c.wait()
         v = v_buf[slot].reshape(hkv, chunk, d)
         if quantized:
-            p = p * vs_buf[slot].reshape(hkv, 1, chunk)
+            p = p * vs_buf[slot][:, None, :]
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -376,8 +378,8 @@ def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
         scratch_shapes=[
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
-            pltpu.VMEM((2, hkv, ppc, page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

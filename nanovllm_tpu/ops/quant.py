@@ -1,0 +1,55 @@
+"""Weight-only quantization (INT8 / INT4) with dequant fused into matmuls.
+
+North-star requirement (BASELINE.json): weight-only INT8/INT4 dequant fused
+into every matmul. On TPU the fusion is expressed, not hand-written: weights
+live in HBM as int8/int4, XLA fuses the widening convert into the matmul's
+VMEM tiles (weights are never materialized wide in HBM), and the per-output-
+channel scale multiplies the matmul result — mathematically identical to
+scaling the weights, but scale-sized work instead of weight-sized.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def quantize_weight(w, bits: int = 8):
+    """w: [..., in, out] -> {"q": int8|int4 [..., in, out],
+    "s": f32 [..., 1, out]} with per-output-channel absmax scales."""
+    assert bits in (8, 4)
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, out]
+    qmax = 127.0 if bits == 8 else 7.0
+    s = jnp.maximum(absmax / qmax, 1e-10)
+    q = jnp.clip(jnp.round(wf / s), -qmax, qmax)
+    dtype = jnp.int8 if bits == 8 else jnp.int4
+    return {"q": q.astype(dtype), "s": s}
+
+
+def qmm(x, w, preferred=None):
+    """x @ w for plain or quantized weights.
+
+    Quantized path: int weight widened to x.dtype inside the matmul fusion,
+    fp32 accumulation on the MXU, then the per-channel scale.
+    """
+    if isinstance(w, dict):
+        y = jnp.matmul(x, w["q"].astype(x.dtype),
+                       preferred_element_type=jnp.float32)
+        y = y * w["s"][..., 0, :]
+        return y if preferred == jnp.float32 else y.astype(x.dtype)
+    return jnp.matmul(x, w, preferred_element_type=preferred or x.dtype)
+
+
+QUANT_WEIGHTS = ("wq", "wk", "wv", "o", "gate", "up", "down")
+
+
+def quantize_params(params: dict, bits: int) -> dict:
+    """Quantize the stacked layer matmuls + lm_head (embedding gather stays
+    wide; norms stay fp)."""
+    out = dict(params)
+    out["layers"] = dict(params["layers"])
+    for name in QUANT_WEIGHTS:
+        out["layers"][name] = quantize_weight(params["layers"][name], bits)
+    out["lm_head"] = quantize_weight(params["lm_head"], bits)
+    return out

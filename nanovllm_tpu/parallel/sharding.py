@@ -17,10 +17,12 @@ from __future__ import annotations
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def param_shardings(mesh: Mesh) -> dict:
+def param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
+    """Shardings matching the params pytree. Quantized leaves ({"q","s"})
+    get the weight's spec for "q" and the output-channel part for "s"."""
     ns = lambda *spec: NamedSharding(mesh, P(*spec))
     rep = ns()
-    return {
+    base = {
         "embed": ns("tp", None),
         "layers": {
             "input_ln": rep,
@@ -38,6 +40,22 @@ def param_shardings(mesh: Mesh) -> dict:
         "final_ln": rep,
         "lm_head": ns(None, "tp"),
     }
+    if params is None:
+        return base
+
+    def adapt(spec_sh, leaf):
+        if isinstance(leaf, dict):  # quantized {"q": [..., in, out], "s": [..., 1, out]}
+            spec = spec_sh.spec
+            s_spec = P(*(list(spec[:-2]) + [None, spec[-1]]))
+            return {"q": spec_sh, "s": NamedSharding(mesh, s_spec)}
+        return spec_sh
+
+    def walk(sh, pr):
+        if isinstance(sh, dict):
+            return {k: walk(sh[k], pr[k]) for k in sh}
+        return adapt(sh, pr)
+
+    return walk(base, params)
 
 
 def kv_cache_sharding(mesh: Mesh) -> dict:

@@ -156,3 +156,44 @@ def test_prefix_cached_prefill_matches_hf(hf_model_dir):
         hf_logits = hf(torch.tensor([prefix + tail_b])).logits[0, -1].float().numpy()
     np.testing.assert_allclose(np.asarray(logits_b[0]), hf_logits,
                                rtol=2e-4, atol=2e-4)
+
+
+def test_int8_weight_only_close_to_fp32(hf_model_dir):
+    """Weight-only INT8: logits close to fp32 on the tiny HF model (the
+    north-star gate is <=0.1 ppl at real scale; here we check the dequant
+    math is right, not the calibration)."""
+    from nanovllm_tpu.ops.quant import quantize_params
+    model_dir, hf = hf_model_dir
+    prompt = [3, 17, 42, 99, 5, 23, 77, 1]
+
+    mc = ModelConfig.from_hf_dir(model_dir)
+    params = load_params(model_dir, mc, jnp.float32)
+    qparams = quantize_params(
+        {k: (dict(v) if isinstance(v, dict) else v) for k, v in params.items()},
+        bits=8)
+
+    num_pages, pages_per_seq = 32, 8
+    num_slots = num_pages * BS
+    import functools
+    attn = functools.partial(
+        ref_attention, scale=mc.head_dim ** -0.5, max_q_len=32,
+        num_gather_pages=pages_per_seq, page_size=BS, num_slots=num_slots,
+        num_layers=mc.num_hidden_layers)
+    fwd = jax.jit(lambda p, c, m: qwen3.forward(p, mc, c, m, attn))
+
+    bm = BlockManager(num_pages, BS)
+    seq = Sequence(prompt, SamplingParams(), block_size=BS)
+    bm.allocate(seq)
+    raw = build_prefill_meta([seq], 32, 2, BS, pages_per_seq, num_slots)
+    meta = BatchMeta(**{k: jnp.asarray(v) for k, v in raw.items()})
+
+    outs = {}
+    for name, pr in (("fp32", params), ("int8", qparams)):
+        cache = create_kv_cache(mc.num_hidden_layers, mc.num_key_value_heads,
+                                num_pages, BS, mc.head_dim, jnp.float32)
+        logits, _ = fwd(pr, cache, meta)
+        outs[name] = np.asarray(logits[0])
+    # Same argmax and small absolute drift.
+    assert outs["fp32"].argmax() == outs["int8"].argmax()
+    err = np.abs(outs["fp32"] - outs["int8"]).max()
+    assert err < 0.35, err
