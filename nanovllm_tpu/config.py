@@ -84,9 +84,9 @@ class Config:
     """Engine configuration (reference: nanovllm/config.py:9-38, rebuilt TPU-first).
 
     `kvcache_block_size` is the paged-KV page size in tokens. The reference
-    fixes 256 (CUDA-friendly); on TPU smaller pages (multiples of the 16-row
-    bf16 sublane tile) give the decode kernel finer-grained streaming, so the
-    default is 64.
+    fixes 256 (CUDA-friendly); on TPU a 128-token page makes every page DMA a
+    whole (sublane x lane) tile block and one INT8 scale row, so the default
+    is 128.
     """
 
     model: str = ""
@@ -96,7 +96,7 @@ class Config:
     hbm_utilization: float = 0.9
     tensor_parallel_size: int = 1
     enforce_eager: bool = False
-    kvcache_block_size: int = 64
+    kvcache_block_size: int = 128
     num_kvcache_blocks: int = -1
     attn_backend: str = "pallas"
     # Query-tile size for the ragged Pallas prefill kernel. Each sequence's
@@ -129,6 +129,9 @@ class Config:
         assert 1 <= self.decode_steps <= 512
         assert self.quant in ("none", "int8", "int4")
         assert self.kv_cache_dtype in ("auto", "bfloat16", "float32", "int8")
+        assert self.kv_cache_dtype != "int8" or self.kvcache_block_size % 128 == 0, (
+            "int8 KV cache requires kvcache_block_size % 128 == 0 "
+            "(page == whole scale rows)")
         if self.model_config is None:
             if self.model and os.path.isdir(self.model):
                 self.model_config = ModelConfig.from_hf_dir(self.model)

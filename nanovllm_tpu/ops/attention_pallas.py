@@ -49,15 +49,20 @@ def _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc, page_size, li,
                     cache_ref.at[pl.ds(v_base + page * page_size, page_size)],
                     v_buf.at[slot, h, i], sems.at[slot, 1]))
                 if quantized:
+                    # scales_ref is the 2-D [rows//128, 128] view; with
+                    # page_size % 128 == 0 a page is whole scale rows.
+                    rows = page_size // 128
                     kcopies.append(pltpu.make_async_copy(
-                        scales_ref.at[pl.ds(k_base + page * page_size,
-                                            page_size)],
-                        ks_buf.at[slot, h, pl.ds(i * page_size, page_size)],
+                        scales_ref.at[pl.ds((k_base + page * page_size)
+                                            // 128, rows)],
+                        ks_buf.at[slot, h,
+                                  pl.ds(i * rows, rows)],
                         sems.at[slot, 0]))
                     vcopies.append(pltpu.make_async_copy(
-                        scales_ref.at[pl.ds(v_base + page * page_size,
-                                            page_size)],
-                        vs_buf.at[slot, h, pl.ds(i * page_size, page_size)],
+                        scales_ref.at[pl.ds((v_base + page * page_size)
+                                            // 128, rows)],
+                        vs_buf.at[slot, h,
+                                  pl.ds(i * rows, rows)],
                         sems.at[slot, 1]))
         return kcopies, vcopies
     return chunk_copies
@@ -130,7 +135,8 @@ def _decode_kernel(
             preferred_element_type=jnp.float32)      # [Hkv, G, chunk]
         if quantized:
             # Fold K row scales into the scores (chunk-size work, not D x).
-            s = s * ks_buf[slot][:, None, :]
+            sc = s.reshape(s.shape[0], s.shape[1], -1, 128)
+            s = (sc * ks_buf[slot][:, None, :, :]).reshape(s.shape)
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         s = jnp.where(pos < ctx, s, MASK_VALUE)
 
@@ -145,7 +151,8 @@ def _decode_kernel(
         v = v_buf[slot].reshape(hkv, chunk, d)
         if quantized:
             # Fold V row scales into the probabilities.
-            p = p * vs_buf[slot][:, None, :]
+            pv = p.reshape(p.shape[0], p.shape[1], -1, 128)
+            p = (pv * vs_buf[slot][:, None, :, :]).reshape(p.shape)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -178,6 +185,9 @@ def paged_decode_attention(q, cache, scales, layer_i, context_lens,
     hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     quantized = cache.dtype == jnp.int8
+    if quantized:
+        assert page_size % 128 == 0, "int8 KV needs page_size % 128 == 0"
+        scales = scales.reshape(-1, 128)
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
         # Target ~256-token chunks (fewer, larger DMA rounds).
@@ -202,8 +212,8 @@ def paged_decode_attention(q, cache, scales, layer_i, context_lens,
         scratch_shapes=[
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
-            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -297,7 +307,8 @@ def _prefill_kernel(
             dimension_numbers=(((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32)      # [Hkv, rows, chunk]
         if quantized:
-            s = s * ks_buf[slot][:, None, :]
+            sc = s.reshape(s.shape[0], s.shape[1], -1, 128)
+            s = (sc * ks_buf[slot][:, None, :, :]).reshape(s.shape)
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
         s = jnp.where(mask, s, MASK_VALUE)
@@ -312,7 +323,8 @@ def _prefill_kernel(
             c.wait()
         v = v_buf[slot].reshape(hkv, chunk, d)
         if quantized:
-            p = p * vs_buf[slot][:, None, :]
+            pv = p.reshape(p.shape[0], p.shape[1], -1, 128)
+            p = (pv * vs_buf[slot][:, None, :, :]).reshape(p.shape)
         o_curr = lax.dot_general(
             p, v.astype(jnp.float32),
             dimension_numbers=(((2,), (1,)), ((0,), (0,))),
@@ -350,6 +362,9 @@ def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
     hkv = cache.shape[0] // (num_layers * 2 * num_slots)
     g = hq // hkv
     quantized = cache.dtype == jnp.int8
+    if quantized:
+        assert page_size % 128 == 0, "int8 KV needs page_size % 128 == 0"
+        scales = scales.reshape(-1, 128)
     nt = t // q_tile
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
@@ -378,8 +393,8 @@ def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
         scratch_shapes=[
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
             pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
-            pltpu.VMEM((2, hkv, ppc * page_size), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
+            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )

@@ -198,12 +198,12 @@ def test_int8_kv_quantized_decode_close_to_fp32():
     """INT8 KV with per-row scales: decode output within quantization noise
     of fp32 (scales folded into scores/probs, never into the KV stream)."""
     from nanovllm_tpu.ops.kv_cache import create_kv_cache, write_kv
-    s_, hq, hkv, d, page_size, pps = 3, 4, 2, 128, 16, 4
+    s_, hq, hkv, d, page_size, pps = 3, 4, 2, 128, 128, 2
     num_pages = s_ * pps + 1
     num_slots = num_pages * page_size
     key = jax.random.PRNGKey(3)
     kq, kk, kv_ = jax.random.split(key, 3)
-    ctx_len = 40
+    ctx_len = 200
     q = jax.random.normal(kq, (s_, hq, d), jnp.float32)
     rng = np.random.default_rng(3)
     tables = jnp.asarray(rng.permutation(num_pages - 1)[: s_ * pps].reshape(

@@ -155,7 +155,8 @@ def test_int8_kv_cache_e2e_close_to_fp32():
     sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
     base = make_llm(attn_backend="pallas").generate(prompts, sp,
                                                     use_tqdm=False)
-    quant = make_llm(attn_backend="pallas", kv_cache_dtype="int8").generate(
+    quant = make_llm(attn_backend="pallas", kv_cache_dtype="int8",
+                     kvcache_block_size=128, num_kvcache_blocks=16).generate(
         prompts, sp, use_tqdm=False)
     matches = sum(a == b for a, b in zip(base[0]["token_ids"],
                                          quant[0]["token_ids"]))
