@@ -10,7 +10,7 @@ from bench import QWEN3_0_6B
 cfg = Config(model="", model_config=QWEN3_0_6B, max_model_len=2048,
              max_num_batched_tokens=8192, 
              attn_backend="pallas", load_format="random", decode_steps=32,
-             kv_cache_dtype="int8", max_num_seqs=64)
+             kv_cache_dtype="int8", max_num_seqs=64, kvcache_block_size=128)
 runner = ModelRunner(cfg)
 print("pages:", cfg.num_kvcache_blocks, flush=True)
 sch = Scheduler(cfg)

@@ -195,13 +195,39 @@ class ModelRunner:
         page_size = self.config.kvcache_block_size
         if self.config.attn_backend == "pallas":
             from nanovllm_tpu.ops.attention_pallas import pallas_attention
-            return functools.partial(
+            fn = functools.partial(
                 pallas_attention, scale=scale, is_prefill=is_prefill,
                 max_q_len=max_q_len, num_gather_pages=num_gather_pages,
                 page_size=page_size, num_slots=self.num_slots,
                 num_layers=mc.num_hidden_layers,
                 q_tile=self.config.prefill_q_tile,
                 interpret=self.mesh.devices.flat[0].platform == "cpu")
+            if self.config.tensor_parallel_size == 1:
+                return fn
+            # Pallas kernels are opaque to GSPMD: run them under shard_map —
+            # each device streams its own KV heads' pages (the head-major
+            # row layout makes local row indexing line up with the local
+            # head count automatically).
+            try:
+                from jax import shard_map
+            except ImportError:  # pragma: no cover
+                from jax.experimental.shard_map import shard_map
+            hp = P(None, "tp", None)   # [T, heads, D]
+            scales_spec = P("tp") if self.kv_dtype == jnp.int8 else P()
+            cache_spec = {"data": P("tp", None), "scales": scales_spec}
+            meta_spec = jax.tree.map(
+                lambda _: P(),
+                BatchMeta(**{f: 0 for f in BatchMeta.__dataclass_fields__}))
+
+            def tp_attn(q, k, v, cache, layer_i, meta):
+                return shard_map(
+                    fn, mesh=self.mesh,
+                    in_specs=(hp, hp, hp, cache_spec, P(), meta_spec),
+                    out_specs=(hp, cache_spec),
+                    check_vma=False,
+                )(q, k, v, cache, layer_i, meta)
+
+            return tp_attn
         from nanovllm_tpu.ops.attention_ref import ref_attention
         return functools.partial(
             ref_attention, scale=scale, max_q_len=max_q_len,
