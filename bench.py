@@ -38,6 +38,10 @@ def main():
     p.add_argument("--input-len", type=int, default=1024)
     p.add_argument("--output-len", type=int, default=1024)
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
+    p.add_argument("--kv-cache-dtype", default="auto",
+                   choices=["auto", "bfloat16", "int8"])
+    p.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
+    p.add_argument("--decode-steps", type=int, default=32)
     p.add_argument("--max-model-len", type=int, default=None)
     args = p.parse_args()
 
@@ -49,6 +53,9 @@ def main():
         max_num_batched_tokens=max(8192, max_model_len),
         max_num_seqs=min(args.num_seqs, 256),
         attn_backend=args.attn_backend,
+        kv_cache_dtype=args.kv_cache_dtype,
+        quant=args.quant,
+        decode_steps=args.decode_steps,
         load_format="auto" if args.model else "random",
     )
 
@@ -70,9 +77,16 @@ def main():
 
     total_out = args.num_seqs * args.output_len  # output-only, like reference
     toks = total_out / dt
+    tag = args.attn_backend
+    if args.kv_cache_dtype == "int8":
+        tag += "+kv8"
+    if args.quant != "none":
+        tag += f"+w{args.quant[3:]}"
+    import sys
+    print("engine metrics:", json.dumps(llm.metrics.summary()), file=sys.stderr)
     print(json.dumps({
         "metric": f"decode tok/s Qwen3-0.6B {args.num_seqs}x{args.input_len}/"
-                  f"{args.output_len} {args.attn_backend}",
+                  f"{args.output_len} {tag}",
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks / BASELINE_FLASH_TOKS, 3),

