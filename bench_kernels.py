@@ -21,13 +21,17 @@ from nanovllm_tpu.ops.attention_pallas import (paged_decode_attention,
 from nanovllm_tpu.ops.kv_cache import create_kv_cache, write_kv
 
 
-def timeit(fn, *args, iters=20, **kw):
-    out = fn(*args, **kw)
-    jax.block_until_ready(out)
+def timeit_chained(fn, q, *args, iters=20, **kw):
+    """Chain each iteration's output into the next call's q so device work
+    serializes (through the axon tunnel, block_until_ready alone does not
+    reliably fence async dispatch), and fetch a scalar at the end."""
+    out = fn(q, *args, **kw)
+    np.asarray(out[0, 0, 0])  # warmup + sync
     t0 = time.perf_counter()
+    x = q
     for _ in range(iters):
-        out = fn(*args, **kw)
-    jax.block_until_ready(out)
+        x = fn(x, *args, **kw)
+    np.asarray(x[0, 0, 0])    # forces the whole chain
     return (time.perf_counter() - t0) / iters
 
 
@@ -36,20 +40,23 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
     num_pages = bs * pps + 1
     num_slots = num_pages * page_size
     key = jax.random.PRNGKey(0)
-    q = jax.random.normal(key, (bs, hq, d), dtype)
+    q = jax.random.normal(key, (bs, hq, d), jnp.bfloat16)
     cache = create_kv_cache(1, hkv, num_pages, page_size, d, dtype)
     rng = np.random.default_rng(0)
     tables = jnp.asarray(rng.permutation(num_pages - 1)[: bs * pps]
                          .reshape(bs, pps).astype(np.int32) + 1)
     ctxs = jnp.full((bs,), ctx, jnp.int32)
-    k = jax.random.normal(key, (bs, hkv, d), dtype)
+    k = jax.random.normal(key, (bs, hkv, d), jnp.bfloat16)
     cache = write_kv(cache, 0, k, k, jnp.arange(bs, dtype=jnp.int32),
                      num_slots, 1)
     interp = jax.devices()[0].platform == "cpu"
 
-    dt = timeit(paged_decode_attention, q, cache["data"], cache["scales"], 0,
-                ctxs, tables, scale=d ** -0.5, page_size=page_size,
-                num_slots=num_slots, num_layers=1, interpret=interp)
+    dt = timeit_chained(
+        lambda qq: paged_decode_attention(
+            qq, cache["data"], cache["scales"], 0, ctxs, tables,
+            scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
+            num_layers=1, interpret=interp),
+        q)
     kv_bytes = 2 * bs * ctx * hkv * d * cache["data"].dtype.itemsize
     return dt, kv_bytes / dt / 1e9
 
@@ -69,10 +76,13 @@ def bench_prefill(t, hq=16, hkv=8, d=128, page_size=128, q_tile=128,
     tile_pos0 = jnp.arange(nt, dtype=jnp.int32) * q_tile
     interp = jax.devices()[0].platform == "cpu"
 
-    dt = timeit(ragged_prefill_attention, q, cache["data"], cache["scales"],
-                0, tile_seq, tile_pos0, ctxs, tables, scale=d ** -0.5,
-                page_size=page_size, num_slots=num_slots, num_layers=1,
-                q_tile=q_tile, iters=5, interpret=interp)
+    dt = timeit_chained(
+        lambda qq: ragged_prefill_attention(
+            qq, cache["data"], cache["scales"], 0, tile_seq, tile_pos0,
+            ctxs, tables, scale=d ** -0.5, page_size=page_size,
+            num_slots=num_slots, num_layers=1, q_tile=q_tile,
+            interpret=interp),
+        q, iters=5)
     flops = 2 * 2 * hq * d * t * t / 2  # causal QK^T + PV
     return dt, flops / dt / 1e12
 
@@ -83,12 +93,16 @@ def main():
     p.add_argument("--decode-ctx", nargs="+", type=int, default=[512, 2048])
     p.add_argument("--prefill-len", nargs="+", type=int,
                    default=[512, 2048, 8192])
+    p.add_argument("--kv-dtype", default="bfloat16",
+                   choices=["bfloat16", "int8"])
     args = p.parse_args()
     print(f"device: {jax.devices()[0]}")
-    print("\n== paged decode kernel (bf16 KV) ==")
+    import jax.numpy as _jnp
+    kv_dtype = _jnp.bfloat16 if args.kv_dtype == "bfloat16" else _jnp.int8
+    print(f"\n== paged decode kernel ({args.kv_dtype} KV) ==")
     for bs in args.decode_bs:
         for ctx in args.decode_ctx:
-            dt, gbps = bench_decode(bs, ctx)
+            dt, gbps = bench_decode(bs, ctx, dtype=kv_dtype)
             print(f"bs={bs:<4d} ctx={ctx:<6d} {dt*1e6:9.1f} us  "
                   f"{gbps:7.1f} GB/s KV-read")
     print("\n== ragged prefill kernel (1 seq) ==")
