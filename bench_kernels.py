@@ -22,17 +22,28 @@ from nanovllm_tpu.ops.kv_cache import create_kv_cache, write_kv
 
 
 def timeit_chained(fn, q, *args, iters=20, **kw):
-    """Chain each iteration's output into the next call's q so device work
-    serializes (through the axon tunnel, block_until_ready alone does not
-    reliably fence async dispatch), and fetch a scalar at the end."""
-    out = fn(q, *args, **kw)
-    np.asarray(out[0, 0, 0])  # warmup + sync
-    t0 = time.perf_counter()
-    x = q
-    for _ in range(iters):
-        x = fn(x, *args, **kw)
-    np.asarray(x[0, 0, 0])    # forces the whole chain
-    return (time.perf_counter() - t0) / iters
+    """Time `iters` kernel invocations chained INSIDE one jitted lax.scan
+    (each iteration's output feeds the next call's q), so device work
+    serializes on-device and the per-dispatch tunnel round-trip (~55 ms)
+    amortizes over the whole chain. Returns seconds per invocation."""
+    import jax
+    from jax import lax
+
+    @jax.jit
+    def chain(x):
+        def body(c, _):
+            o = fn(c, *args, **kw)
+            return o.astype(c.dtype), ()
+        y, _ = lax.scan(body, x, length=iters)
+        return y
+
+    np.asarray(chain(q))[0, 0, 0]  # compile + warmup
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(q))[0, 0, 0]
+        best = min(best, time.perf_counter() - t0)
+    return best / iters
 
 
 def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16):
@@ -95,16 +106,23 @@ def main():
                    default=[512, 2048, 8192])
     p.add_argument("--kv-dtype", default="bfloat16",
                    choices=["bfloat16", "int8"])
+    p.add_argument("--page-size", nargs="+", type=int, default=[128])
+    p.add_argument("--skip-prefill", action="store_true")
     args = p.parse_args()
     print(f"device: {jax.devices()[0]}")
     import jax.numpy as _jnp
     kv_dtype = _jnp.bfloat16 if args.kv_dtype == "bfloat16" else _jnp.int8
     print(f"\n== paged decode kernel ({args.kv_dtype} KV) ==")
-    for bs in args.decode_bs:
-        for ctx in args.decode_ctx:
-            dt, gbps = bench_decode(bs, ctx, dtype=kv_dtype)
-            print(f"bs={bs:<4d} ctx={ctx:<6d} {dt*1e6:9.1f} us  "
-                  f"{gbps:7.1f} GB/s KV-read")
+    for page in args.page_size:
+        for bs in args.decode_bs:
+            for ctx in args.decode_ctx:
+                dt, gbps = bench_decode(bs, ctx, page_size=page,
+                                        dtype=kv_dtype)
+                print(f"page={page:<4d} bs={bs:<4d} ctx={ctx:<6d} "
+                      f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s KV-read",
+                      flush=True)
+    if args.skip_prefill:
+        return
     print("\n== ragged prefill kernel (1 seq) ==")
     for t in args.prefill_len:
         dt, tflops = bench_prefill(t)

@@ -114,6 +114,10 @@ class Config:
     # "random" initializes weights from a PRNG instead of loading safetensors
     # (lets benches run without model files on disk).
     load_format: str = "auto"      # auto | safetensors | random
+    # Use the C++ engine core (csrc/engine_core.cpp) for the block manager /
+    # prefix cache and decode batch prep; falls back to the pure-Python
+    # implementations when the toolchain is unavailable.
+    native_core: bool = True
     seed: int = 0
     eos: int = -1
     model_config: ModelConfig | None = None

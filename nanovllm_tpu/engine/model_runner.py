@@ -321,8 +321,14 @@ class ModelRunner:
                                      cfg.pages_per_seq, self.num_slots,
                                      q_tile=cfg.prefill_q_tile)
         else:
-            raw = build_decode_meta(seqs, s, cfg.kvcache_block_size,
-                                    cfg.pages_per_seq, self.num_slots)
+            raw = None
+            if cfg.native_core:
+                from nanovllm_tpu.engine.native_core import native_decode_meta
+                raw = native_decode_meta(seqs, s, cfg.kvcache_block_size,
+                                         cfg.pages_per_seq, self.num_slots)
+            if raw is None:
+                raw = build_decode_meta(seqs, s, cfg.kvcache_block_size,
+                                        cfg.pages_per_seq, self.num_slots)
         meta = jax.device_put(BatchMeta(**raw), self._rep)
         self.rng_key, sub = jax.random.split(self.rng_key)
         step_fn = self._get_step_fn(key)

@@ -15,7 +15,7 @@ from collections import deque
 from dataclasses import dataclass
 
 from nanovllm_tpu.config import Config
-from nanovllm_tpu.engine.block_manager import BlockManager
+from nanovllm_tpu.engine.native_core import make_block_manager
 from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 
 
@@ -39,8 +39,9 @@ class Scheduler:
         self.max_model_len = config.max_model_len
         self.decode_steps = config.decode_steps
         self.eos = config.eos
-        self.block_manager = BlockManager(
-            config.num_kvcache_blocks, config.kvcache_block_size
+        self.block_manager = make_block_manager(
+            config.num_kvcache_blocks, config.kvcache_block_size,
+            native=config.native_core,
         )
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
