@@ -205,16 +205,16 @@ class ModelRunner:
             if self.config.tensor_parallel_size == 1:
                 return fn
             # Pallas kernels are opaque to GSPMD: run them under shard_map —
-            # each device streams its own KV heads' pages (the head-major
-            # row layout makes local row indexing line up with the local
-            # head count automatically).
+            # each device streams its own KV heads' pages (the lane-dim
+            # cache layout shards head-aligned: local row indexing is
+            # unchanged, each device just sees a narrower Hkv_local*D row).
             try:
                 from jax import shard_map
             except ImportError:  # pragma: no cover
                 from jax.experimental.shard_map import shard_map
             hp = P(None, "tp", None)   # [T, heads, D]
-            scales_spec = P("tp") if self.kv_dtype == jnp.int8 else P()
-            cache_spec = {"data": P("tp", None), "scales": scales_spec}
+            scales_spec = P(None, "tp") if self.kv_dtype == jnp.int8 else P()
+            cache_spec = {"data": P(None, "tp"), "scales": scales_spec}
             meta_spec = jax.tree.map(
                 lambda _: P(),
                 BatchMeta(**{f: 0 for f in BatchMeta.__dataclass_fields__}))

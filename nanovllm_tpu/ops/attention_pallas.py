@@ -3,13 +3,22 @@
 TPU-native re-design of the reference's from-scratch Triton backend
 (nanovllm/layers/attention_triton.py): both kernels stream block-table-
 indexed KV pages HBM→VMEM with double-buffered async DMA and an online
-softmax (the capability of attention_triton.py:101-343, but tile-wise DMA
+softmax (the capability of attention_triton.py:101-343, but page-wise DMA
 streaming instead of scalar per-token loads).
 
 The cache is the 2-D row layout of ops/kv_cache.py: one page is ONE
-contiguous [page_size, Hkv*D] block, so each chunk needs only
-2*pages_per_chunk DMAs covering every KV head, and the kernels never slice
-the cache per layer (a scalar-prefetched layer index offsets the rows).
+contiguous [page_size, Hkv*D] block carrying every KV head, so a 2-page
+chunk costs 4 data DMAs (+4 scale-row DMAs when INT8) — DMA issue rate was
+the measured decode bottleneck, not HBM bandwidth. Per-head tiles are static
+lane slices (no minor-dim reshapes, no in-VMEM transposes of the stream);
+the per-head Q·Kᵀ / P·V dots are statically unrolled (Mosaic lowers batched
+dots to the same per-head loop).
+
+The decode kernel additionally WRITES the step's new K/V rows itself
+(in-kernel VMEM→HBM DMA on the aliased cache, waited before the last chunk's
+reads — the new token always lands in the last page). This replaces the XLA
+scatter that cost 165 us/layer/step (data + scales) in traced profiles;
+quantization of the new rows happens in XLA before the call.
 """
 
 from __future__ import annotations
@@ -22,50 +31,74 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nanovllm_tpu.ops.attention_ref import ref_attention
-from nanovllm_tpu.ops.kv_cache import write_kv
+from nanovllm_tpu.ops.kv_cache import quantize_rows, write_kv
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc, page_size, li,
-                     hkv, num_layers, num_slots, k_buf, v_buf, ks_buf, vs_buf,
-                     sems, quantized):
+def _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc, page_size, li,
+                     num_slots, k_buf, v_buf, ks_buf, vs_buf, sems,
+                     quantized):
     """Per-chunk page-copy descriptors (shared by both kernels): one
-    contiguous [page_size, D] DMA per (kv head, page) — pages land directly
-    in [Hkv, ppc, page_size, D] buffers, no in-VMEM transpose. INT8 mode
-    additionally streams the per-row scales."""
+    contiguous [page_size, Hkv*D] DMA per page (all heads at once), plus its
+    [page_size, Hkv] scale rows when INT8."""
+    k_base = (li * 2) * num_slots
+    v_base = k_base + num_slots
+
     def chunk_copies(chunk_idx, slot):
         kcopies, vcopies = [], []
-        for h in range(hkv):
-            k_base = ((h * num_layers + li) * 2) * num_slots
-            v_base = k_base + num_slots
-            for i in range(ppc):
-                page = bt_ref[si, chunk_idx * ppc + i]
+        for i in range(ppc):
+            page = bt_ref[si, chunk_idx * ppc + i]
+            dst = pl.ds(i * page_size, page_size)
+            kcopies.append(pltpu.make_async_copy(
+                data_ref.at[pl.ds(k_base + page * page_size, page_size)],
+                k_buf.at[slot, dst], sems.at[slot, 0]))
+            vcopies.append(pltpu.make_async_copy(
+                data_ref.at[pl.ds(v_base + page * page_size, page_size)],
+                v_buf.at[slot, dst], sems.at[slot, 1]))
+            if quantized:
                 kcopies.append(pltpu.make_async_copy(
-                    cache_ref.at[pl.ds(k_base + page * page_size, page_size)],
-                    k_buf.at[slot, h, i], sems.at[slot, 0]))
+                    scales_ref.at[pl.ds(k_base + page * page_size,
+                                        page_size)],
+                    ks_buf.at[slot, dst], sems.at[slot, 0]))
                 vcopies.append(pltpu.make_async_copy(
-                    cache_ref.at[pl.ds(v_base + page * page_size, page_size)],
-                    v_buf.at[slot, h, i], sems.at[slot, 1]))
-                if quantized:
-                    # scales_ref is the 2-D [rows//128, 128] view; with
-                    # page_size % 128 == 0 a page is whole scale rows.
-                    rows = page_size // 128
-                    kcopies.append(pltpu.make_async_copy(
-                        scales_ref.at[pl.ds((k_base + page * page_size)
-                                            // 128, rows)],
-                        ks_buf.at[slot, h,
-                                  pl.ds(i * rows, rows)],
-                        sems.at[slot, 0]))
-                    vcopies.append(pltpu.make_async_copy(
-                        scales_ref.at[pl.ds((v_base + page * page_size)
-                                            // 128, rows)],
-                        vs_buf.at[slot, h,
-                                  pl.ds(i * rows, rows)],
-                        sems.at[slot, 1]))
+                    scales_ref.at[pl.ds(v_base + page * page_size,
+                                        page_size)],
+                    vs_buf.at[slot, dst], sems.at[slot, 1]))
         return kcopies, vcopies
+
     return chunk_copies
+
+
+def _flash_heads_chunk(carry, q_heads, k_buf_slot, v_buf_slot, ks, vs, mask,
+                       hkv, d, quantized):
+    """One online-softmax update over a KV chunk, per-head statically
+    unrolled. carry: tuple over heads of (m, l, acc); q_heads: per-head
+    [rows, d] f32 (pre-scaled); k/v_buf_slot: [chunk, Hkv*D]; ks/vs:
+    [chunk, Hkv] f32; mask: [rows, chunk] bool."""
+    out = []
+    for h in range(hkv):
+        m, l, acc = carry[h]
+        k_h = k_buf_slot[:, h * d:(h + 1) * d].astype(jnp.float32)
+        if quantized:
+            k_h = k_h * ks[:, h:h + 1]
+        s = lax.dot_general(
+            q_heads[h], k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [rows, chunk]
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        v_h = v_buf_slot[:, h * d:(h + 1) * d].astype(jnp.float32)
+        if quantized:
+            v_h = v_h * vs[:, h:h + 1]
+        o_curr = lax.dot_general(
+            p, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)          # [rows, d]
+        out.append((m_next, l_next, acc * alpha + o_curr))
+    return tuple(out)
 
 
 def _decode_kernel(
@@ -73,18 +106,26 @@ def _decode_kernel(
     layer_ref,      # i32[1]
     ctx_ref,        # i32[S]
     bt_ref,         # i32[S, pages_per_seq]
+    slot_ref,       # i32[S]  (num_slots for pad seqs)
     # inputs
-    q_ref,          # [1, Hq, D] (VMEM block for this seq)
-    cache_ref,      # [Hkv*L*2*num_slots, D] (HBM)
-    scales_ref,     # f32[rows] (HBM; dummy [1] when not quantized)
-    # output
+    q_ref,          # [1, Hq, D] VMEM block for this seq
+    kr_ref,         # [1, Hkv*D] new K row (quantized when int8)
+    vr_ref,         # [1, Hkv*D]
+    ksc_ref,        # f32[1, Hkv] (dummy when not quantized)
+    vsc_ref,        # f32[1, Hkv]
+    data_in_ref,    # HBM (aliased with data_out)
+    scales_in_ref,  # HBM (aliased with scales_out)
+    # outputs
     o_ref,          # [1, Hq, D]
+    data_ref,       # HBM [L*2*num_slots, Hkv*D] (the cache; aliased)
+    scales_ref,     # HBM [rows, Hkv] f32
     # scratch
-    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
+    k_buf,          # VMEM [2, chunk, Hkv*D]
     v_buf,
-    ks_buf,         # VMEM [2, Hkv, ppc, page_size] f32 (scales)
+    ks_buf,         # VMEM [2, chunk, Hkv] f32
     vs_buf,
     sems,           # DMA sems [2, 2]
+    wsem,           # DMA sem for the row writes
     *,
     scale: float,
     page_size: int,
@@ -93,21 +134,51 @@ def _decode_kernel(
     g: int,
     d: int,
     num_slots: int,
-    num_layers: int,
     quantized: bool,
 ):
+    del data_in_ref, scales_in_ref
     si = pl.program_id(0)
     li = layer_ref[0]
     ctx = ctx_ref[si]
+    slot = slot_ref[si]
     chunk = ppc * page_size
     n_chunks = lax.div(ctx + chunk - 1, chunk)
-    chunk_copies = _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc,
-                                    page_size, li, hkv, num_layers, num_slots,
-                                    k_buf, v_buf, ks_buf, vs_buf, sems,
-                                    quantized)
+    k_base = (li * 2) * num_slots
+    v_base = k_base + num_slots
 
-    def start_chunk(chunk_idx, slot):
-        kcopies, vcopies = chunk_copies(chunk_idx, slot)
+    def write_copies():
+        cs = [pltpu.make_async_copy(kr_ref,
+                                    data_ref.at[pl.ds(k_base + slot, 1)],
+                                    wsem),
+              pltpu.make_async_copy(vr_ref,
+                                    data_ref.at[pl.ds(v_base + slot, 1)],
+                                    wsem)]
+        if quantized:
+            cs.append(pltpu.make_async_copy(
+                ksc_ref, scales_ref.at[pl.ds(k_base + slot, 1)], wsem))
+            cs.append(pltpu.make_async_copy(
+                vsc_ref, scales_ref.at[pl.ds(v_base + slot, 1)], wsem))
+        return cs
+
+    valid_write = slot < num_slots
+
+    @pl.when(valid_write)
+    def _():
+        for c in write_copies():
+            c.start()
+
+    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc,
+                                    page_size, li, num_slots, k_buf, v_buf,
+                                    ks_buf, vs_buf, sems, quantized)
+
+    def start_chunk(chunk_idx, slot_buf):
+        # The step's own K/V row lands in the LAST page: its write must
+        # complete before that page is read back.
+        @pl.when((chunk_idx == n_chunks - 1) & valid_write)
+        def _():
+            for c in write_copies():
+                c.wait()
+        kcopies, vcopies = chunk_copies(chunk_idx, slot_buf)
         for c in kcopies + vcopies:
             c.start()
 
@@ -115,117 +186,113 @@ def _decode_kernel(
     def _():
         start_chunk(0, 0)
 
-    q = q_ref[0].astype(jnp.float32).reshape(hkv, g, d) * scale
+    q = q_ref[0].astype(jnp.float32) * scale          # [Hq, D]
+    q_heads = [q[h * g:(h + 1) * g] for h in range(hkv)]
 
     def body(ci, carry):
-        m, l, acc = carry
-        slot = lax.rem(ci, 2)
+        slot_buf = lax.rem(ci, 2)
 
         @pl.when(ci + 1 < n_chunks)
         def _():
             start_chunk(ci + 1, lax.rem(ci + 1, 2))
 
-        kcopies, vcopies = chunk_copies(ci, slot)
-        for c in kcopies:
+        kcopies, vcopies = chunk_copies(ci, slot_buf)
+        for c in kcopies + vcopies:
             c.wait()
-        k = k_buf[slot].reshape(hkv, chunk, d)
-        s = lax.dot_general(
-            q, k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Hkv, G, chunk]
-        if quantized:
-            # Fold K row scales into the scores (chunk-size work, not D x).
-            sc = s.reshape(s.shape[0], s.shape[1], -1, 128)
-            s = (sc * ks_buf[slot][:, None, :, :]).reshape(s.shape)
-        pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
-        s = jnp.where(pos < ctx, s, MASK_VALUE)
+        pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (g, chunk), 1)
+        mask = pos < ctx
+        ks = ks_buf[slot_buf] if quantized else None
+        vs = vs_buf[slot_buf] if quantized else None
+        return _flash_heads_chunk(carry, q_heads, k_buf[slot_buf],
+                                  v_buf[slot_buf], ks, vs, mask, hkv, d,
+                                  quantized)
 
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m, m_curr)
-        alpha = jnp.exp(m - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+    init = tuple((jnp.full((g, 1), MASK_VALUE, jnp.float32),
+                  jnp.zeros((g, 1), jnp.float32),
+                  jnp.zeros((g, d), jnp.float32)) for _ in range(hkv))
+    carry = lax.fori_loop(0, n_chunks, body, init)
 
-        for c in vcopies:
-            c.wait()
-        v = v_buf[slot].reshape(hkv, chunk, d)
-        if quantized:
-            # Fold V row scales into the probabilities.
-            pv = p.reshape(p.shape[0], p.shape[1], -1, 128)
-            p = (pv * vs_buf[slot][:, None, :, :]).reshape(p.shape)
-        o_curr = lax.dot_general(
-            p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Hkv, G, D]
-        acc = acc * alpha + o_curr
-        return m_next, l_next, acc
-
-    m0 = jnp.full((hkv, g, 1), MASK_VALUE, jnp.float32)
-    l0 = jnp.zeros((hkv, g, 1), jnp.float32)
-    acc0 = jnp.zeros((hkv, g, d), jnp.float32)
-    m, l, acc = lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
-
-    out = acc / jnp.where(l == 0.0, 1.0, l)
-    o_ref[0] = out.reshape(hkv * g, d).astype(o_ref.dtype)
+    for h in range(hkv):
+        m, l, acc = carry[h]
+        out = acc / jnp.where(l == 0.0, 1.0, l)
+        o_ref[0, h * g:(h + 1) * g, :] = out.astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
                      "pages_per_chunk", "interpret"))
-def paged_decode_attention(q, cache, scales, layer_i, context_lens,
-                           block_tables, *, scale: float, page_size: int,
+def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
+                           scales, layer_i, context_lens, block_tables,
+                           slot_mapping, *, scale: float, page_size: int,
                            num_slots: int, num_layers: int,
                            pages_per_chunk: int = 0,
                            interpret: bool = False):
-    """q: [S, Hq, D]; cache: [Hkv*L*2*num_slots, D] (+ f32 row scales when
-    int8); layer_i: i32 scalar; context_lens: i32[S];
-    block_tables: i32[S, pages_per_seq]. Returns [S, Hq, D]."""
+    """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized when
+    the cache is int8); k_scales/v_scales: f32[S, Hkv] (dummy [S, 1] when
+    not); data: [L*2*num_slots, Hkv*D]; scales: f32[rows, Hkv] | f32[1, 1];
+    layer_i: i32 scalar; context_lens: i32[S]; block_tables:
+    i32[S, pages_per_seq]; slot_mapping: i32[S]. Returns
+    (out [S, Hq, D], data, scales) — cache arrays aliased in place."""
     s, hq, d = q.shape
-    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
+    hkv = k_rows.shape[1] // d
     g = hq // hkv
-    quantized = cache.dtype == jnp.int8
-    if quantized:
-        assert page_size % 128 == 0, "int8 KV needs page_size % 128 == 0"
-        scales = scales.reshape(-1, 128)
+    quantized = data.dtype == jnp.int8
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
-        # Target ~256-token chunks (fewer, larger DMA rounds).
         pages_per_chunk = max(1, 256 // page_size)
     ppc = pages_per_chunk
     while pages_per_seq % ppc:
         ppc -= 1
+    chunk = ppc * page_size
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        hkv=hkv, g=g, d=d, num_slots=num_slots, num_layers=num_layers,
-        quantized=quantized)
+        hkv=hkv, g=g, d=d, num_slots=num_slots, quantized=quantized)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((1, hkv * d), lambda si, *_: (si, 0)),
+            pl.BlockSpec((1, hkv * d), lambda si, *_: (si, 0)),
+            pl.BlockSpec((1, k_scales.shape[1]), lambda si, *_: (si, 0)),
+            pl.BlockSpec((1, v_scales.shape[1]), lambda si, *_: (si, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
-            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
+            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
+            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
+            pltpu.VMEM((2, chunk, hkv), jnp.float32),
+            pltpu.VMEM((2, chunk, hkv), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
-    return pl.pallas_call(
+    out, data, scales = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((s, hq, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((s, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(data.shape, data.dtype),
+            jax.ShapeDtypeStruct(scales.shape, scales.dtype),
+        ],
         grid_spec=grid_spec,
+        # Operand numbering includes the 4 scalar-prefetch args: data is
+        # operand 9 -> output 1, scales operand 10 -> output 2.
+        input_output_aliases={9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(layer_arr, context_lens, block_tables, q, cache, scales)
+    )(layer_arr, context_lens, block_tables, slot_mapping,
+      q, k_rows, v_rows, k_scales, v_scales, data, scales)
+    return out, data, scales
 
 
 def _prefill_kernel(
@@ -238,14 +305,14 @@ def _prefill_kernel(
     # inputs
     q_ref,          # [TQ, Hq, D] q-tile (all heads; Hq spans the full axis
     #                 to satisfy the TPU (8,128) block-tiling constraint)
-    cache_ref,      # [Hkv*L*2*num_slots, D] (HBM)
-    scales_ref,     # f32[rows] (HBM; dummy [1] when not quantized)
+    data_ref,       # HBM [L*2*num_slots, Hkv*D]
+    scales_ref,     # HBM f32[rows, Hkv] (dummy when not quantized)
     # output
     o_ref,          # [TQ, Hq, D]
     # scratch
-    k_buf,          # VMEM [2, Hkv, ppc, page_size, D]
+    k_buf,          # VMEM [2, chunk, Hkv*D]
     v_buf,
-    ks_buf,         # VMEM [2, Hkv, ppc, page_size] f32 (scales)
+    ks_buf,         # VMEM [2, chunk, Hkv] f32
     vs_buf,
     sems,           # DMA sems [2, 2]
     *,
@@ -257,7 +324,6 @@ def _prefill_kernel(
     g: int,
     d: int,
     num_slots: int,
-    num_layers: int,
     quantized: bool,
 ):
     ti = pl.program_id(0)
@@ -270,10 +336,9 @@ def _prefill_kernel(
     kv_hi = jnp.minimum(pos0 + tq, ctx)
     chunk = ppc * page_size
     n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
-    chunk_copies = _mk_chunk_copies(cache_ref, scales_ref, bt_ref, si, ppc,
-                                    page_size, li, hkv, num_layers, num_slots,
-                                    k_buf, v_buf, ks_buf, vs_buf, sems,
-                                    quantized)
+    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc,
+                                    page_size, li, num_slots, k_buf, v_buf,
+                                    ks_buf, vs_buf, sems, quantized)
 
     def start_chunk(chunk_idx, slot):
         kcopies, vcopies = chunk_copies(chunk_idx, slot)
@@ -285,13 +350,15 @@ def _prefill_kernel(
         start_chunk(0, 0)
 
     rows = tq * g
-    # [TQ, Hq, D] -> [Hkv, TQ*G, D] (row r of a head-group = query r // G).
-    q = q_ref[...].astype(jnp.float32).reshape(tq, hkv, g, d)
-    q = jnp.transpose(q, (1, 0, 2, 3)).reshape(hkv, rows, d) * scale
-    q_pos = pos0 + lax.broadcasted_iota(jnp.int32, (1, rows, chunk), 1) // g
+    # Row r of head-group h corresponds to query token r // g.
+    q_heads = [
+        q_ref[:, h * g:(h + 1) * g, :].reshape(rows, d).astype(jnp.float32)
+        * scale
+        for h in range(hkv)
+    ]
+    q_pos = pos0 + lax.broadcasted_iota(jnp.int32, (rows, chunk), 0) // g
 
     def body(ci, carry):
-        m, l, acc = carry
         slot = lax.rem(ci, 2)
 
         @pl.when(ci + 1 < n_chunks)
@@ -299,54 +366,33 @@ def _prefill_kernel(
             start_chunk(ci + 1, lax.rem(ci + 1, 2))
 
         kcopies, vcopies = chunk_copies(ci, slot)
-        for c in kcopies:
+        for c in kcopies + vcopies:
             c.wait()
-        k = k_buf[slot].reshape(hkv, chunk, d)
-        s = lax.dot_general(
-            q, k.astype(jnp.float32),
-            dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Hkv, rows, chunk]
-        if quantized:
-            sc = s.reshape(s.shape[0], s.shape[1], -1, 128)
-            s = (sc * ks_buf[slot][:, None, :, :]).reshape(s.shape)
-        kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, s.shape, 2)
+        kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (rows, chunk),
+                                                   1)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
-        s = jnp.where(mask, s, MASK_VALUE)
+        ks = ks_buf[slot] if quantized else None
+        vs = vs_buf[slot] if quantized else None
+        return _flash_heads_chunk(carry, q_heads, k_buf[slot], v_buf[slot],
+                                  ks, vs, mask, hkv, d, quantized)
 
-        m_curr = jnp.max(s, axis=-1, keepdims=True)
-        m_next = jnp.maximum(m, m_curr)
-        alpha = jnp.exp(m - m_next)
-        p = jnp.exp(s - m_next)
-        l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+    init = tuple((jnp.full((rows, 1), MASK_VALUE, jnp.float32),
+                  jnp.zeros((rows, 1), jnp.float32),
+                  jnp.zeros((rows, d), jnp.float32)) for _ in range(hkv))
+    carry = lax.fori_loop(0, n_chunks, body, init)
 
-        for c in vcopies:
-            c.wait()
-        v = v_buf[slot].reshape(hkv, chunk, d)
-        if quantized:
-            pv = p.reshape(p.shape[0], p.shape[1], -1, 128)
-            p = (pv * vs_buf[slot][:, None, :, :]).reshape(p.shape)
-        o_curr = lax.dot_general(
-            p, v.astype(jnp.float32),
-            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)      # [Hkv, rows, D]
-        acc = acc * alpha + o_curr
-        return m_next, l_next, acc
-
-    m0 = jnp.full((hkv, rows, 1), MASK_VALUE, jnp.float32)
-    l0 = jnp.zeros((hkv, rows, 1), jnp.float32)
-    acc0 = jnp.zeros((hkv, rows, d), jnp.float32)
-    m, l, acc = lax.fori_loop(0, n_chunks, body, (m0, l0, acc0))
-
-    out = acc / jnp.where(l == 0.0, 1.0, l)
-    out = out.reshape(hkv, tq, g, d).transpose(1, 0, 2, 3)
-    o_ref[...] = out.reshape(tq, hkv * g, d).astype(o_ref.dtype)
+    for h in range(hkv):
+        m, l, acc = carry[h]
+        out = acc / jnp.where(l == 0.0, 1.0, l)
+        o_ref[:, h * g:(h + 1) * g, :] = out.reshape(tq, g, d).astype(
+            o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
                      "q_tile", "pages_per_chunk", "interpret"))
-def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
+def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
                              context_lens, block_tables, *, scale: float,
                              page_size: int, num_slots: int, num_layers: int,
                              q_tile: int, pages_per_chunk: int = 0,
@@ -359,12 +405,9 @@ def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
     q: [T, Hq, D] flat tokens, each sequence's segment aligned to q_tile;
     tile_seq/tile_pos0: i32[T // q_tile]. Returns [T, Hq, D]."""
     t, hq, d = q.shape
-    hkv = cache.shape[0] // (num_layers * 2 * num_slots)
+    quantized = data.dtype == jnp.int8
+    hkv = data.shape[1] // d
     g = hq // hkv
-    quantized = cache.dtype == jnp.int8
-    if quantized:
-        assert page_size % 128 == 0, "int8 KV needs page_size % 128 == 0"
-        scales = scales.reshape(-1, 128)
     nt = t // q_tile
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
@@ -372,6 +415,7 @@ def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
     ppc = pages_per_chunk
     while pages_per_seq % ppc:
         ppc -= 1
+    chunk = ppc * page_size
 
     # ctx_ref padded with a dump row so pad tiles (tile_seq == S) index it.
     ctx_pad = jnp.concatenate(
@@ -380,21 +424,21 @@ def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
     kernel = functools.partial(
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
         tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots,
-        num_layers=num_layers, quantized=quantized)
+        quantized=quantized)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         out_specs=pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc, page_size, d), cache.dtype),
-            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
-            pltpu.VMEM((2, hkv, ppc * page_size // 128, 128), jnp.float32),
+            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
+            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
+            pltpu.VMEM((2, chunk, hkv), jnp.float32),
+            pltpu.VMEM((2, chunk, hkv), jnp.float32),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -406,25 +450,36 @@ def ragged_prefill_attention(q, cache, scales, layer_i, tile_seq, tile_pos0,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables, q, cache, scales)
+    )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables, q, data, scales)
 
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
                      num_layers, q_tile=128, interpret: bool = False):
-    """Backend entry: write-through KV scatter, then the paged Pallas kernel
-    (ragged prefill or decode)."""
-    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
-                     num_layers)
+    """Backend entry. Prefill: XLA row-scatter write-through, then the ragged
+    prefill kernel. Decode: the kernel writes the new rows itself (quantized
+    here in XLA when the cache is int8) — no XLA scatter on the decode path."""
     if is_prefill:
+        cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
+                         num_layers)
         out = ragged_prefill_attention(
             q, cache["data"], cache["scales"], layer_i, meta.tile_seq,
             meta.tile_pos0, meta.context_lens, meta.block_tables, scale=scale,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
             q_tile=q_tile, interpret=interpret)
+        return out, cache
+    t, hkv, d = k.shape
+    if cache["data"].dtype == jnp.int8:
+        k_rows, k_scales = quantize_rows(k)
+        v_rows, v_scales = quantize_rows(v)
     else:
-        out = paged_decode_attention(
-            q, cache["data"], cache["scales"], layer_i, meta.context_lens,
-            meta.block_tables, scale=scale, page_size=page_size,
-            num_slots=num_slots, num_layers=num_layers, interpret=interpret)
-    return out, cache
+        k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
+        v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
+        k_scales = jnp.ones((t, 1), jnp.float32)
+        v_scales = k_scales
+    out, data, scales = paged_decode_attention(
+        q, k_rows, v_rows, k_scales, v_scales, cache["data"],
+        cache["scales"], layer_i, meta.context_lens, meta.block_tables,
+        meta.slot_mapping, scale=scale, page_size=page_size,
+        num_slots=num_slots, num_layers=num_layers, interpret=interpret)
+    return out, {"data": data, "scales": scales}

@@ -24,7 +24,7 @@ NEG_INF = float("-inf")
 def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
                   max_q_len: int, num_gather_pages: int, page_size: int,
                   num_slots: int, num_layers: int):
-    """q: [T, Hq, D]; k, v: [T, Hkv, D]; cache: [Hkv*L*2*num_slots, D]
+    """q: [T, Hq, D]; k, v: [T, Hkv, D]; cache: [L*2*num_slots, Hkv*D]
     (full 2-D row cache — see ops/kv_cache.py for the layout rationale).
 
     Returns (out [T, Hq, D], updated cache).

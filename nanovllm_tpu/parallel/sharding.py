@@ -59,8 +59,9 @@ def param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
 
 
 def kv_cache_sharding(mesh: Mesh) -> dict:
-    # {"data": [Hkv*L*2*num_slots, head_dim], "scales": f32[rows]} — rows are
-    # head-major, so row sharding is head-aligned contiguous per device when
-    # Hkv % tp == 0. (Dummy [1] scales in bf16 mode are replicated.)
-    return {"data": NamedSharding(mesh, P("tp", None)),
-            "scales": NamedSharding(mesh, P("tp"))}
+    # {"data": [L*2*num_slots, Hkv*D], "scales": f32[rows, Hkv]} — all KV
+    # heads live in the lane dim, so TP shards the lane dim head-aligned:
+    # each device holds Hkv/tp full heads (and their scale columns) for every
+    # slot. (Dummy [1, 1] scales in bf16 mode are replicated by the caller.)
+    return {"data": NamedSharding(mesh, P(None, "tp")),
+            "scales": NamedSharding(mesh, P(None, "tp"))}

@@ -1,6 +1,11 @@
 """Backend-vs-backend equivalence: the Pallas paged kernels (run in TPU
 interpreter mode on CPU) must match dense references — the reference's
-implicit verification method made explicit (SURVEY §4)."""
+implicit verification method made explicit (SURVEY §4).
+
+Decode additionally verifies the kernel's in-kernel KV row write: the new
+token's K/V rows are passed to the kernel (not pre-scattered), and the test
+checks both the attention output and the final cache state against the XLA
+write path."""
 
 import jax
 import jax.numpy as jnp
@@ -9,20 +14,47 @@ import pytest
 
 from nanovllm_tpu.ops.attention_pallas import (
     paged_decode_attention, ragged_prefill_attention)
-from nanovllm_tpu.ops.kv_cache import create_kv_cache, gather_pages
+from nanovllm_tpu.ops.kv_cache import (
+    create_kv_cache, gather_pages, kv_row_base, quantize_rows, write_kv)
 
 
 def make_cache(key, num_layers, hkv, num_pages, page_size, d):
-    shape = (hkv * num_layers * 2 * num_pages * page_size, d)
+    shape = (num_layers * 2 * num_pages * page_size, hkv * d)
     return {"data": jax.random.normal(key, shape, jnp.float32),
-            "scales": jnp.ones(1, jnp.float32)}
+            "scales": jnp.ones((1, 1), jnp.float32)}
+
+
+def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
+               slot_mapping, *, scale, page_size, num_slots, num_layers):
+    """Mirror of pallas_attention's decode prep: build the new-row operands
+    and invoke the kernel (interpret mode)."""
+    t, hkv, d = k_new.shape
+    if cache["data"].dtype == jnp.int8:
+        k_rows, k_scales = quantize_rows(k_new)
+        v_rows, v_scales = quantize_rows(v_new)
+    else:
+        k_rows = k_new.reshape(t, hkv * d).astype(cache["data"].dtype)
+        v_rows = v_new.reshape(t, hkv * d).astype(cache["data"].dtype)
+        k_scales = jnp.ones((t, 1), jnp.float32)
+        v_scales = k_scales
+    out, data, scales = paged_decode_attention(
+        q, k_rows, v_rows, k_scales, v_scales, cache["data"],
+        cache["scales"], layer_i, context_lens, block_tables, slot_mapping,
+        scale=scale, page_size=page_size, num_slots=num_slots,
+        num_layers=num_layers, interpret=True)
+    return out, {"data": data, "scales": scales}
+
+
+def slot_of(tables, si, pos, page_size):
+    return int(tables[si][pos // page_size]) * page_size + pos % page_size
 
 
 def ref_decode(q, cache, layer_i, context_lens, block_tables, page_size,
                num_slots, num_layers, scale):
-    """Straightforward dense-gather reference for single-token decode."""
+    """Straightforward dense-gather reference for single-token decode
+    (expects the new rows already written into `cache`)."""
     s, hq, d = q.shape
-    hkv = cache["data"].shape[0] // (num_layers * 2 * num_slots)
+    hkv = cache["data"].shape[1] // d
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
                           block_tables.shape[1], page_size, num_slots, hkv,
@@ -51,8 +83,10 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
     num_pages = s * pages_per_seq + 1
     num_slots = num_pages * page_size
     key = jax.random.PRNGKey(0)
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     q = jax.random.normal(k1, (s, hq, d), jnp.float32)
+    k_new = jax.random.normal(k3, (s, hkv, d), jnp.float32)
+    v_new = jax.random.normal(k4, (s, hkv, d), jnp.float32)
     # 2-layer cache; exercise the scalar-prefetched layer index with layer 1.
     cache = make_cache(k2, 2, hkv, num_pages, page_size, d)
     layer_i = 1
@@ -63,18 +97,28 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
     ctx = np.array([1 + rng.integers(0, max_ctx) for _ in range(s)], np.int32)
     ctx[0] = max_ctx       # full
     ctx[1] = page_size     # exactly one page
+    # The step's new token sits at position ctx-1 (context_lens INCLUDE it).
+    slots = np.array([slot_of(tables, si, int(ctx[si]) - 1, page_size)
+                      for si in range(s)], np.int32)
     block_tables = jnp.asarray(tables)
     context_lens = jnp.asarray(ctx)
+    slot_mapping = jnp.asarray(slots)
     scale = d ** -0.5
 
-    out_pallas = paged_decode_attention(
-        q, cache["data"], cache["scales"], layer_i, context_lens,
-        block_tables, scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=2, interpret=True)
-    out_ref = ref_decode(q, cache, layer_i, context_lens, block_tables,
+    out_pallas, cache_out = run_decode(
+        q, k_new, v_new, cache, layer_i, context_lens, block_tables,
+        slot_mapping, scale=scale, page_size=page_size, num_slots=num_slots,
+        num_layers=2)
+    # Reference: write through XLA, then dense attention.
+    cache_ref = write_kv(dict(cache), layer_i, k_new, v_new, slot_mapping,
+                         num_slots, 2)
+    out_ref = ref_decode(q, cache_ref, layer_i, context_lens, block_tables,
                          page_size, num_slots, 2, scale)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
                                rtol=2e-5, atol=2e-5)
+    # The kernel's in-kernel row writes must equal the XLA scatter exactly.
+    np.testing.assert_array_equal(np.asarray(cache_out["data"]),
+                                  np.asarray(cache_ref["data"]))
 
 
 def test_paged_decode_pad_seq_zero_context():
@@ -82,23 +126,28 @@ def test_paged_decode_pad_seq_zero_context():
     num_pages = 8
     num_slots = num_pages * page_size
     q = jnp.ones((s, hq, d), jnp.float32)
-    cache = jnp.ones((hkv * 1 * 2 * num_slots, d), jnp.float32)
+    cache = {"data": jnp.ones((1 * 2 * num_slots, hkv * d), jnp.float32),
+             "scales": jnp.ones((1, 1), jnp.float32)}
+    k_new = jnp.ones((s, hkv, d), jnp.float32)
     block_tables = jnp.zeros((s, pages_per_seq), jnp.int32)
     context_lens = jnp.array([16, 0, 5, 0], jnp.int32)  # pad seqs ctx=0
-    out = paged_decode_attention(q, cache, jnp.ones(1, jnp.float32), 0,
-                                 context_lens, block_tables, scale=0.1,
-                                 page_size=page_size, num_slots=num_slots,
-                                 num_layers=1, interpret=True)
+    # Pad seqs carry slot == num_slots -> the kernel must skip their write.
+    slot_mapping = jnp.array([15, num_slots, 4, num_slots], jnp.int32)
+    out, cache_out = run_decode(
+        q, k_new, k_new, cache, 0, context_lens, block_tables, slot_mapping,
+        scale=0.1, page_size=page_size, num_slots=num_slots, num_layers=1)
     out = np.asarray(out)
     assert np.allclose(out[1], 0.0) and np.allclose(out[3], 0.0)
     assert np.allclose(out[0], 1.0, atol=1e-5)  # V all-ones -> weighted avg 1
+    # No stray writes: cache was all-ones and new rows are ones.
+    assert np.allclose(np.asarray(cache_out["data"]), 1.0)
 
 
 def ref_prefill(q, cache, layer_i, tile_seq, tile_pos0, context_lens,
                 block_tables, page_size, num_slots, num_layers, q_tile, scale):
     """Dense causal reference over the paged cache for the ragged layout."""
     t, hq, d = q.shape
-    hkv = cache["data"].shape[0] // (num_layers * 2 * num_slots)
+    hkv = cache["data"].shape[1] // d
     g = hq // hkv
     kd, vd = gather_pages(cache, layer_i, block_tables,
                           block_tables.shape[1], page_size, num_slots, hkv,
@@ -168,70 +217,75 @@ def test_ragged_prefill_matches_dense():
 
 
 def test_write_kv_roundtrip():
-    """write_kv rows land at the right (head, layer, k/v, slot); pads drop."""
-    from nanovllm_tpu.ops.kv_cache import write_kv, kv_row_base
+    """write_kv rows land at the right (layer, k/v, slot); pads drop."""
     L, hkv, d, num_slots = 3, 2, 4, 32
-    cache = {"data": jnp.zeros((hkv * L * 2 * num_slots, d), jnp.float32),
-             "scales": jnp.ones(1, jnp.float32)}
+    cache = {"data": jnp.zeros((L * 2 * num_slots, hkv * d), jnp.float32),
+             "scales": jnp.ones((1, 1), jnp.float32)}
     t = 4
     k = jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     v = -jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     slots = jnp.array([5, 9, num_slots, 0], jnp.int32)  # 3rd is a pad token
     out = write_kv(cache, 1, k, v, slots, num_slots, L)
     out = np.asarray(out["data"])
+    base_k = kv_row_base(1, 0, num_slots)
+    base_v = kv_row_base(1, 1, num_slots)
     for h in range(hkv):
-        base_k = kv_row_base(h, 1, 0, L, num_slots)
-        base_v = kv_row_base(h, 1, 1, L, num_slots)
-        np.testing.assert_array_equal(out[base_k + 5], np.asarray(k[0, h]))
-        np.testing.assert_array_equal(out[base_v + 9], np.asarray(v[1, h]))
-        np.testing.assert_array_equal(out[base_k + 0], np.asarray(k[3, h]))
+        col = slice(h * d, (h + 1) * d)
+        np.testing.assert_array_equal(out[base_k + 5, col], np.asarray(k[0, h]))
+        np.testing.assert_array_equal(out[base_v + 9, col], np.asarray(v[1, h]))
+        np.testing.assert_array_equal(out[base_k + 0, col], np.asarray(k[3, h]))
         # Pad token dropped: ensure k[2] did not corrupt the V region.
-        assert not np.allclose(out[base_v + 0], np.asarray(k[2, h]))
-        # This head, layers 0 and 2 untouched.
-        assert np.all(out[kv_row_base(h, 0, 0, L, num_slots):
-                          kv_row_base(h, 1, 0, L, num_slots)] == 0)
-        assert np.all(out[kv_row_base(h, 2, 0, L, num_slots):
-                          kv_row_base(h, 2, 2, L, num_slots)] == 0)
+        assert not np.allclose(out[base_v + 0, col], np.asarray(k[2, h]))
+    # Layers 0 and 2 untouched.
+    assert np.all(out[kv_row_base(0, 0, num_slots):
+                      kv_row_base(0, 2, num_slots)] == 0)
+    assert np.all(out[kv_row_base(2, 0, num_slots):
+                      kv_row_base(2, 2, num_slots)] == 0)
 
 
 def test_int8_kv_quantized_decode_close_to_fp32():
-    """INT8 KV with per-row scales: decode output within quantization noise
-    of fp32 (scales folded into scores/probs, never into the KV stream)."""
-    from nanovllm_tpu.ops.kv_cache import create_kv_cache, write_kv
+    """INT8 KV with per-(token, head) scales: decode output within
+    quantization noise of fp32 (scales folded into scores/probs, never into
+    the KV stream); exercises both the quantized stream read and the
+    in-kernel quantized row write."""
     s_, hq, hkv, d, page_size, pps = 3, 4, 2, 128, 128, 2
     num_pages = s_ * pps + 1
     num_slots = num_pages * page_size
     key = jax.random.PRNGKey(3)
-    kq, kk, kv_ = jax.random.split(key, 3)
+    kq, kk, kv_, kn = jax.random.split(key, 4)
     ctx_len = 200
     q = jax.random.normal(kq, (s_, hq, d), jnp.float32)
     rng = np.random.default_rng(3)
     tables = jnp.asarray(rng.permutation(num_pages - 1)[: s_ * pps].reshape(
         s_, pps).astype(np.int32) + 1)
-    context_lens = jnp.full((s_,), ctx_len, jnp.int32)
 
     caches = {dt: create_kv_cache(1, hkv, num_pages, page_size, d, dt)
               for dt in (jnp.float32, jnp.int8)}
-    # Write the same KV rows through write_kv for both dtypes.
-    for si in range(s_):
-        for pos in range(ctx_len):
-            pass
-    k_new = jax.random.normal(kk, (s_ * ctx_len, hkv, d), jnp.float32)
-    v_new = jax.random.normal(kv_, (s_ * ctx_len, hkv, d), jnp.float32)
+    # Write the prefix KV rows through write_kv for both dtypes.
+    k_prefix = jax.random.normal(kk, (s_ * ctx_len, hkv, d), jnp.float32)
+    v_prefix = jax.random.normal(kv_, (s_ * ctx_len, hkv, d), jnp.float32)
     pos = np.arange(ctx_len)
     slots = np.concatenate([
         np.asarray(tables[si])[pos // page_size] * page_size + pos % page_size
         for si in range(s_)]).astype(np.int32)
     for dt in caches:
-        caches[dt] = write_kv(caches[dt], 0, k_new, v_new,
+        caches[dt] = write_kv(caches[dt], 0, k_prefix, v_prefix,
                               jnp.asarray(slots), num_slots, 1)
+
+    # Decode step: new token at position ctx_len (context becomes ctx_len+1).
+    k_new = jax.random.normal(kn, (s_, hkv, d), jnp.float32)
+    context_lens = jnp.full((s_,), ctx_len + 1, jnp.int32)
+    step_slots = jnp.asarray(np.array(
+        [slot_of(np.asarray(tables), si, ctx_len, page_size)
+         for si in range(s_)], np.int32))
 
     outs = {}
     for dt, cache in caches.items():
-        outs[dt] = np.asarray(paged_decode_attention(
-            q, cache["data"], cache["scales"], 0, context_lens, tables,
+        out, _ = run_decode(
+            q, k_new, k_new, cache, 0, context_lens, tables, step_slots,
             scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
-            num_layers=1, interpret=True))
+            num_layers=1)
+        outs[dt] = np.asarray(out)
     err = np.abs(outs[jnp.int8] - outs[jnp.float32]).max()
     assert err < 0.05, f"int8 KV error too large: {err}"
     assert not np.allclose(outs[jnp.int8], 0)
