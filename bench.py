@@ -66,10 +66,16 @@ def main():
     sp = SamplingParams(temperature=0.6, max_tokens=args.output_len,
                         ignore_eos=True)
 
-    # Warmup: compiles the prefill/decode buckets (CUDA-graph-capture
-    # equivalent), excluded from timing like the reference's warmup generate.
-    llm.generate([prompts[0][:args.input_len]],
-                 SamplingParams(max_tokens=8, ignore_eos=True), use_tqdm=False)
+    # Warmup: compile the exact buckets the workload will hit (CUDA-graph-
+    # capture equivalent), excluded from timing like the reference's warmup
+    # generate. Prefill batches pack max_num_batched_tokens // input_len
+    # seqs; decode runs the full batch.
+    seqs_per_prefill = min(args.num_seqs,
+                           max(1, llm.config.max_num_batched_tokens
+                               // args.input_len))
+    llm.warmup(decode_bs=[args.num_seqs],
+               prefill=[(seqs_per_prefill * args.input_len,
+                         seqs_per_prefill)])
 
     t0 = time.perf_counter()
     llm.generate(prompts, sp, use_tqdm=True)

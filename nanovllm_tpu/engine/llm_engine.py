@@ -47,6 +47,12 @@ class LLMEngine:
     def exit(self):  # API parity with the reference (llm_engine.py:47-60)
         pass
 
+    def warmup(self, decode_bs=(), prefill=()):
+        """Pre-compile step buckets before serving (the reference's warmup +
+        CUDA-graph capture, model_runner.py:107-121, 317-370). prefill takes
+        (total_tokens, num_seqs) pairs."""
+        self.model_runner.warmup(decode_bs, prefill)
+
     def add_request(self, prompt, sampling_params: SamplingParams | None = None):
         if isinstance(prompt, str):
             assert self.tokenizer is not None, (

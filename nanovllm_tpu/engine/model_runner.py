@@ -335,9 +335,42 @@ class ModelRunner:
         self.kv_cache, tokens = step_fn(self.params, self.kv_cache, meta, sub)
         return np.asarray(tokens)[:, : len(seqs)].T.tolist()
 
-    def warmup(self, decode_buckets=(64,), prefill_tokens=()):
-        """Pre-compile the hot buckets (the CUDA-graph-capture equivalent,
-        reference model_runner.py:317-370). Lazy compilation on first use
-        otherwise."""
-        for _ in decode_buckets:
-            pass  # buckets compile lazily; explicit warmup added with bench
+    def warmup(self, decode_bs=(), prefill=(), num_steps: int = 0):
+        """Pre-compile the hot step buckets with all-pad batches (the
+        reference's CUDA-graph capture ladder, model_runner.py:317-370).
+        Pad batches are inert: every token's slot is num_slots (scatter
+        drops it) and every context length is 0 (kernels read nothing).
+
+        decode_bs: iterable of decode batch sizes.
+        prefill: iterable of (total_tokens, num_seqs) pairs.
+        """
+        cfg = self.config
+        steps = num_steps or cfg.decode_steps
+        pk = cfg.pages_per_seq
+        t0 = time.perf_counter()
+        for bs in decode_bs:
+            s = min(next_bucket(bs, DECODE_BUCKETS),
+                    next_pow2(cfg.max_num_seqs))
+            raw = build_decode_meta([], s, cfg.kvcache_block_size, pk,
+                                    self.num_slots)
+            self._run_pad_step((False, s, s, 1, pk, steps), raw)
+        for tokens, nseqs in prefill:
+            tq = cfg.prefill_q_tile
+            t = next_pow2(tokens, max(128, tq))
+            s = min(next_pow2(max(nseqs, 1)), next_pow2(cfg.max_num_seqs))
+            qmax = min(next_pow2(tokens, 256), t) if \
+                cfg.attn_backend == "ref" else t
+            raw = build_prefill_meta([], t, s, cfg.kvcache_block_size, pk,
+                                     self.num_slots, q_tile=tq)
+            self._run_pad_step((True, t, s, qmax, pk, 1), raw)
+        if decode_bs or prefill:
+            logger.info("warmup compiled %d decode + %d prefill buckets "
+                        "in %.1fs", len(tuple(decode_bs)),
+                        len(tuple(prefill)), time.perf_counter() - t0)
+
+    def _run_pad_step(self, key, raw):
+        meta = jax.device_put(BatchMeta(**raw), self._rep)
+        self.rng_key, sub = jax.random.split(self.rng_key)
+        fn = self._get_step_fn(key)
+        self.kv_cache, tokens = fn(self.params, self.kv_cache, meta, sub)
+        jax.block_until_ready(tokens)
