@@ -111,11 +111,20 @@ class ModelRunner:
     def _kv_bytes_per_page(self) -> int:
         mc = self.config.model_config
         itemsize = jnp.dtype(self.kv_dtype).itemsize
-        per_row = mc.head_dim * itemsize
+        per_slot = mc.num_key_value_heads * mc.head_dim * itemsize
         if self.kv_dtype == jnp.int8:
-            per_row += 4  # per-row f32 scale
-        return (mc.num_hidden_layers * 2 * mc.num_key_value_heads
-                * self.config.kvcache_block_size * per_row)
+            from nanovllm_tpu.ops.kv_cache import SCALE_LANES
+            per_slot += SCALE_LANES * 2 * self._scale_shards()
+        return (mc.num_hidden_layers * 2
+                * self.config.kvcache_block_size * per_slot)
+
+    def _scale_shards(self) -> int:
+        """INT8 scale rows are one full 128-lane tile PER TP SHARD (see
+        ops/kv_cache.create_kv_cache); only the Pallas backend needs that."""
+        if self.kv_dtype != jnp.int8:
+            return 1
+        return (self.config.tensor_parallel_size
+                if self.config.attn_backend == "pallas" else 1)
 
     # Fallback HBM sizes when the runtime exposes no memory_stats (the axon
     # tunnel returns None). Matched by substring of device_kind.
@@ -181,7 +190,7 @@ class ModelRunner:
         cache = create_kv_cache(
             mc.num_hidden_layers, mc.num_key_value_heads,
             cfg.num_kvcache_blocks, cfg.kvcache_block_size, mc.head_dim,
-            self.kv_dtype)
+            self.kv_dtype, num_shards=self._scale_shards())
         shardings = kv_cache_sharding(self.mesh)
         if cache["scales"].shape[0] == 1:  # replicate the dummy
             shardings = dict(shardings,

@@ -14,11 +14,13 @@ lane slices (no minor-dim reshapes, no in-VMEM transposes of the stream);
 the per-head Q·Kᵀ / P·V dots are statically unrolled (Mosaic lowers batched
 dots to the same per-head loop).
 
-The decode kernel additionally WRITES the step's new K/V rows itself
-(in-kernel VMEM→HBM DMA on the aliased cache, waited before the last chunk's
-reads — the new token always lands in the last page). This replaces the XLA
-scatter that cost 165 us/layer/step (data + scales) in traced profiles;
-quantization of the new rows happens in XLA before the call.
+Decode-step KV writes are XLA row scatters on this layout (a handful of
+[T, Hkv*D] rows — cheap, unlike the old head-major layout's 1024 tiny rows
+at 165 us/layer/step). The kernel can also write the rows itself
+(enable_write=True: in-kernel DMA on the aliased cache, waited before the
+last chunk's reads), but real TPUs reject the 1-row HBM slice (Mosaic DMA
+slices must be sublane-tile aligned), so that path is interpret/testing-only
+until an aligned read-modify-write variant exists.
 """
 
 from __future__ import annotations
@@ -31,7 +33,8 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nanovllm_tpu.ops.kv_cache import quantize_rows, write_kv
+from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, SCALE_LANES,
+                                        quantize_rows, write_kv)
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -81,7 +84,7 @@ def _flash_heads_chunk(carry, q_heads, k_buf_slot, v_buf_slot, ks, vs, mask,
         m, l, acc = carry[h]
         k_h = k_buf_slot[:, h * d:(h + 1) * d].astype(jnp.float32)
         if quantized:
-            k_h = k_h * ks[:, h:h + 1]
+            k_h = k_h * ks[:, h:h + 1].astype(jnp.float32)
         s = lax.dot_general(
             q_heads[h], k_h, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)          # [rows, chunk]
@@ -93,7 +96,7 @@ def _flash_heads_chunk(carry, q_heads, k_buf_slot, v_buf_slot, ks, vs, mask,
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         v_h = v_buf_slot[:, h * d:(h + 1) * d].astype(jnp.float32)
         if quantized:
-            v_h = v_h * vs[:, h:h + 1]
+            v_h = v_h * vs[:, h:h + 1].astype(jnp.float32)
         o_curr = lax.dot_general(
             p, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)          # [rows, d]
@@ -109,10 +112,13 @@ def _decode_kernel(
     slot_ref,       # i32[S]  (num_slots for pad seqs)
     # inputs
     q_ref,          # [1, Hq, D] VMEM block for this seq
-    kr_ref,         # [1, Hkv*D] new K row (quantized when int8)
-    vr_ref,         # [1, Hkv*D]
-    ksc_ref,        # f32[1, Hkv] (dummy when not quantized)
-    vsc_ref,        # f32[1, Hkv]
+    kr_ref,         # HBM [S, Hkv*D] new K rows (quantized when int8);
+    #                 row si is DMA'd straight HBM->HBM into the cache
+    #                 (a (1, Hkv*D) VMEM block would violate the (8, 128)
+    #                 block-tiling rule on real TPUs)
+    vr_ref,         # HBM [S, Hkv*D]
+    ksc_ref,        # HBM f32[S, Hkv] (dummy [S, 1] when not quantized)
+    vsc_ref,        # HBM f32[S, Hkv]
     data_in_ref,    # HBM (aliased with data_out)
     scales_in_ref,  # HBM (aliased with scales_out)
     # outputs
@@ -122,7 +128,7 @@ def _decode_kernel(
     # scratch
     k_buf,          # VMEM [2, chunk, Hkv*D]
     v_buf,
-    ks_buf,         # VMEM [2, chunk, Hkv] f32
+    ks_buf,         # VMEM [2, chunk, SCALE_LANES] bf16 (lane h = head h)
     vs_buf,
     sems,           # DMA sems [2, 2]
     wsem,           # DMA sem for the row writes
@@ -135,6 +141,7 @@ def _decode_kernel(
     d: int,
     num_slots: int,
     quantized: bool,
+    enable_write: bool,
 ):
     del data_in_ref, scales_in_ref
     si = pl.program_id(0)
@@ -147,37 +154,41 @@ def _decode_kernel(
     v_base = k_base + num_slots
 
     def write_copies():
-        cs = [pltpu.make_async_copy(kr_ref,
+        cs = [pltpu.make_async_copy(kr_ref.at[pl.ds(si, 1)],
                                     data_ref.at[pl.ds(k_base + slot, 1)],
                                     wsem),
-              pltpu.make_async_copy(vr_ref,
+              pltpu.make_async_copy(vr_ref.at[pl.ds(si, 1)],
                                     data_ref.at[pl.ds(v_base + slot, 1)],
                                     wsem)]
         if quantized:
             cs.append(pltpu.make_async_copy(
-                ksc_ref, scales_ref.at[pl.ds(k_base + slot, 1)], wsem))
+                ksc_ref.at[pl.ds(si, 1)],
+                scales_ref.at[pl.ds(k_base + slot, 1)], wsem))
             cs.append(pltpu.make_async_copy(
-                vsc_ref, scales_ref.at[pl.ds(v_base + slot, 1)], wsem))
+                vsc_ref.at[pl.ds(si, 1)],
+                scales_ref.at[pl.ds(v_base + slot, 1)], wsem))
         return cs
 
-    valid_write = slot < num_slots
+    valid_write = (slot < num_slots) if enable_write else False
 
-    @pl.when(valid_write)
-    def _():
-        for c in write_copies():
-            c.start()
+    if enable_write:
+        @pl.when(valid_write)
+        def _():
+            for c in write_copies():
+                c.start()
 
     chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc,
                                     page_size, li, num_slots, k_buf, v_buf,
                                     ks_buf, vs_buf, sems, quantized)
 
     def start_chunk(chunk_idx, slot_buf):
-        # The step's own K/V row lands in the LAST page: its write must
-        # complete before that page is read back.
-        @pl.when((chunk_idx == n_chunks - 1) & valid_write)
-        def _():
-            for c in write_copies():
-                c.wait()
+        if enable_write:
+            # The step's own K/V row lands in the LAST page: its write must
+            # complete before that page is read back.
+            @pl.when((chunk_idx == n_chunks - 1) & valid_write)
+            def _():
+                for c in write_copies():
+                    c.wait()
         kcopies, vcopies = chunk_copies(chunk_idx, slot_buf)
         for c in kcopies + vcopies:
             c.start()
@@ -221,12 +232,13 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
-                     "pages_per_chunk", "interpret"))
+                     "pages_per_chunk", "enable_write", "interpret"))
 def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
                            scales, layer_i, context_lens, block_tables,
                            slot_mapping, *, scale: float, page_size: int,
                            num_slots: int, num_layers: int,
                            pages_per_chunk: int = 0,
+                           enable_write: bool = False,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized when
     the cache is int8); k_scales/v_scales: f32[S, Hkv] (dummy [S, 1] when
@@ -248,16 +260,17 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
 
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
-        hkv=hkv, g=g, d=d, num_slots=num_slots, quantized=quantized)
+        hkv=hkv, g=g, d=d, num_slots=num_slots, quantized=quantized,
+        enable_write=enable_write)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
-            pl.BlockSpec((1, hkv * d), lambda si, *_: (si, 0)),
-            pl.BlockSpec((1, hkv * d), lambda si, *_: (si, 0)),
-            pl.BlockSpec((1, k_scales.shape[1]), lambda si, *_: (si, 0)),
-            pl.BlockSpec((1, v_scales.shape[1]), lambda si, *_: (si, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
@@ -269,8 +282,8 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
         scratch_shapes=[
             pltpu.VMEM((2, chunk, hkv * d), data.dtype),
             pltpu.VMEM((2, chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, hkv), jnp.float32),
-            pltpu.VMEM((2, chunk, hkv), jnp.float32),
+            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2, 2)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -312,7 +325,7 @@ def _prefill_kernel(
     # scratch
     k_buf,          # VMEM [2, chunk, Hkv*D]
     v_buf,
-    ks_buf,         # VMEM [2, chunk, Hkv] f32
+    ks_buf,         # VMEM [2, chunk, SCALE_LANES] bf16 (lane h = head h)
     vs_buf,
     sems,           # DMA sems [2, 2]
     *,
@@ -437,8 +450,8 @@ def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
         scratch_shapes=[
             pltpu.VMEM((2, chunk, hkv * d), data.dtype),
             pltpu.VMEM((2, chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, hkv), jnp.float32),
-            pltpu.VMEM((2, chunk, hkv), jnp.float32),
+            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2, 2)),
         ],
     )
@@ -455,10 +468,18 @@ def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
-                     num_layers, q_tile=128, interpret: bool = False):
+                     num_layers, q_tile=128, in_kernel_write: bool = False,
+                     interpret: bool = False):
     """Backend entry. Prefill: XLA row-scatter write-through, then the ragged
-    prefill kernel. Decode: the kernel writes the new rows itself (quantized
-    here in XLA when the cache is int8) — no XLA scatter on the decode path."""
+    prefill kernel.
+
+    Decode: by default the new K/V rows are written with the same XLA row
+    scatter (on this layout that is a handful of [T, Hkv*D] rows — the
+    embedding-update pattern, in place on the donated cache) and the kernel
+    only reads. With in_kernel_write=True the kernel DMAs the rows itself;
+    real TPUs reject the unaligned 1-row HBM slice (Mosaic tiling requires
+    sublane-aligned DMA slices), so this path is interpret/testing-only until
+    an aligned read-modify-write variant exists."""
     if is_prefill:
         cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
                          num_layers)
@@ -469,17 +490,34 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
             q_tile=q_tile, interpret=interpret)
         return out, cache
     t, hkv, d = k.shape
-    if cache["data"].dtype == jnp.int8:
-        k_rows, k_scales = quantize_rows(k)
-        v_rows, v_scales = quantize_rows(v)
-    else:
-        k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
-        v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
-        k_scales = jnp.ones((t, 1), jnp.float32)
-        v_scales = k_scales
+    if in_kernel_write:
+        if cache["data"].dtype == jnp.int8:
+            k_rows, k_scales = quantize_rows(k)
+            v_rows, v_scales = quantize_rows(v)
+        else:
+            k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
+            v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
+            k_scales = jnp.ones((t, 1), jnp.float32)
+            v_scales = k_scales
+        slot_mapping = meta.slot_mapping
+        data, scales = cache["data"], cache["scales"]
+        out, data, scales = paged_decode_attention(
+            q, k_rows, v_rows, k_scales, v_scales, data, scales, layer_i,
+            meta.context_lens, meta.block_tables, slot_mapping, scale=scale,
+            page_size=page_size, num_slots=num_slots, num_layers=num_layers,
+            enable_write=True, interpret=interpret)
+        return out, {"data": data, "scales": scales}
+    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
+                     num_layers)
+    data, scales = cache["data"], cache["scales"]
+    k_rows = jnp.zeros((t, hkv * d), data.dtype)
+    v_rows = k_rows
+    k_scales = jnp.ones((t, 1), jnp.float32)
+    v_scales = k_scales
+    slot_mapping = jnp.full((t,), num_slots, jnp.int32)  # no kernel write
     out, data, scales = paged_decode_attention(
-        q, k_rows, v_rows, k_scales, v_scales, cache["data"],
-        cache["scales"], layer_i, meta.context_lens, meta.block_tables,
-        meta.slot_mapping, scale=scale, page_size=page_size,
-        num_slots=num_slots, num_layers=num_layers, interpret=interpret)
+        q, k_rows, v_rows, k_scales, v_scales, data, scales, layer_i,
+        meta.context_lens, meta.block_tables, slot_mapping, scale=scale,
+        page_size=page_size, num_slots=num_slots, num_layers=num_layers,
+        interpret=interpret)
     return out, {"data": data, "scales": scales}

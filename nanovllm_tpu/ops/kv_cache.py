@@ -8,7 +8,14 @@ Layout: ONE 2-D array with all KV heads contiguous in the lane (minor) dim:
     data[(layer * 2 + kv) * num_slots + slot, Hkv * D]
 
 where slot = page_id * page_size + offset. INT8 mode keeps per-(token, head)
-absmax scales in a parallel f32 array `scales[(layer*2+kv)*num_slots+slot, Hkv]`.
+absmax scales in a parallel bf16 array `scales[(layer*2+kv)*num_slots+slot,
+SCALE_LANES]` with the head-h scale at lane h (lanes >= Hkv unused). The
+full-tile lane width is load-bearing: Mosaic only DMAs lane windows that
+cover whole 128-lane tiles, so a dense [rows, Hkv] array cannot be streamed
+page-wise, while a denser packing (16 tokens x 8 heads per row) cannot be
+broadcast against token-major K/V tiles without a forbidden minor-dim
+reshape. bf16 keeps the padding overhead at 25% of the int8 page bytes
+(scale relative error ~0.4% vs the ~0.8% int8 quantization error).
 
 Why this exact shape (each point learned on TPU hardware; see git history for
 the earlier head-major layout and its measured costs):
@@ -35,15 +42,24 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+SCALE_LANES = 128  # one full TPU lane tile per scale row
+SCALE_DTYPE = jnp.bfloat16
+
 
 def create_kv_cache(num_layers: int, num_kv_heads: int, num_pages: int,
-                    page_size: int, head_dim: int, dtype) -> dict:
-    """Returns {"data": [L*2*num_slots, Hkv*D], "scales": f32[same, Hkv]
-    (int8) | f32[1, 1] (dummy otherwise)}."""
+                    page_size: int, head_dim: int, dtype,
+                    num_shards: int = 1) -> dict:
+    """Returns {"data": [L*2*num_slots, Hkv*D], "scales": bf16[same,
+    SCALE_LANES * num_shards] (int8) | f32[1, 1] (dummy otherwise)}.
+
+    num_shards > 1 gives every tensor-parallel shard its own full 128-lane
+    scale window (shard s owns lanes [s*128, (s+1)*128), local head h at
+    local lane h) — a lane-sharded [rows, 128] array would hand each shard a
+    sub-tile window Mosaic cannot DMA."""
     num_slots = num_pages * page_size
     rows = num_layers * 2 * num_slots
     data = jnp.zeros((rows, num_kv_heads * head_dim), dtype=dtype)
-    scales = (jnp.ones((rows, num_kv_heads), jnp.float32)
+    scales = (jnp.ones((rows, SCALE_LANES * num_shards), SCALE_DTYPE)
               if dtype == jnp.int8 else jnp.ones((1, 1), jnp.float32))
     return {"data": data, "scales": scales}
 
@@ -55,13 +71,19 @@ def kv_row_base(layer_i, is_v: int, num_slots: int):
 def quantize_rows(x):
     """Per-(token, head) absmax INT8 quantization.
 
-    x: [T, Hkv, D] -> (q [T, Hkv*D] int8, scales [T, Hkv] f32)."""
+    x: [T, Hkv, D] -> (q [T, Hkv*D] int8, scales [T, SCALE_LANES] with the
+    head-h scale at lane h, 1.0 in unused lanes)."""
     t, hkv, d = x.shape
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1)              # [T, Hkv]
     scale = jnp.maximum(absmax / 127.0, 1e-8)
+    # Round the scale THROUGH its storage dtype before dividing, so q is
+    # exact w.r.t. the scale the reader will see.
+    scale = scale.astype(SCALE_DTYPE).astype(jnp.float32)
     q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
-    return q.reshape(t, hkv * d), scale
+    rows = jnp.ones((t, SCALE_LANES), SCALE_DTYPE)
+    rows = rows.at[:, :hkv].set(scale.astype(SCALE_DTYPE))
+    return q.reshape(t, hkv * d), rows
 
 
 def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
@@ -119,7 +141,7 @@ def gather_pages(cache: dict, layer_i, block_tables, num_gather_pages: int,
     def fetch(rows):
         x = data[rows].reshape(s, -1, num_kv_heads, d)
         if data.dtype == jnp.int8:
-            sc = cache["scales"][rows]  # [S, K, Hkv]
-            x = x.astype(jnp.float32) * sc[..., None]
+            sc = cache["scales"][rows][..., :num_kv_heads]  # [S, K, Hkv]
+            x = x.astype(jnp.float32) * sc.astype(jnp.float32)[..., None]
         return jnp.moveaxis(x, 1, 2)
     return fetch(k_rows), fetch(v_rows)
