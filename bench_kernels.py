@@ -87,7 +87,7 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
             qq, data, scales = c
             cc = write_kv({"data": data, "scales": scales}, 0,
                           qq[:, :hkv, :], qq[:, :hkv, :], step_slots,
-                          num_slots, 1)
+                          num_slots, 1, page_size)
             o, data, scales = paged_decode_attention(
                 qq, zero_rows, zero_rows, one_scales, one_scales,
                 cc["data"], cc["scales"], 0, ctxs, tables, sentinel,

@@ -7,12 +7,14 @@ softmax (the capability of attention_triton.py:101-343, but page-wise DMA
 streaming instead of scalar per-token loads).
 
 The cache is the 2-D row layout of ops/kv_cache.py: one page is ONE
-contiguous [page_size, Hkv*D] block carrying every KV head, so a 2-page
-chunk costs 4 data DMAs (+4 scale-row DMAs when INT8) — DMA issue rate was
-the measured decode bottleneck, not HBM bandwidth. Per-head tiles are static
-lane slices (no minor-dim reshapes, no in-VMEM transposes of the stream);
-the per-head Q·Kᵀ / P·V dots are statically unrolled (Mosaic lowers batched
-dots to the same per-head loop).
+contiguous [2*page_size, Hkv*D] block carrying every KV head's K rows then V
+rows, so a page costs ONE data DMA (+1 scale-row DMA when INT8) — DMA issue
+rate was the measured decode bottleneck, not HBM bandwidth. Per-head tiles
+are static lane slices (no minor-dim reshapes, no in-VMEM transposes of the
+stream). Decode computes all heads per page in a single MXU dot via a
+block-diagonal Q ([Hq, Hkv*D], row i nonzero only in head i//g's lane
+block); prefill q blocks are large, so per-head dots stay (already
+MXU-sized, no 8x wasted FLOPs).
 
 Decode-step KV writes are XLA row scatters on this layout (a handful of
 [T, Hkv*D] rows — cheap, unlike the old head-major layout's 1024 tiny rows
@@ -40,66 +42,154 @@ MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
 def _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc, page_size, li,
-                     num_slots, k_buf, v_buf, ks_buf, vs_buf, sems,
-                     quantized):
-    """Per-chunk page-copy descriptors (shared by both kernels): one
-    contiguous [page_size, Hkv*D] DMA per page (all heads at once), plus its
-    [page_size, Hkv] scale rows when INT8."""
-    k_base = (li * 2) * num_slots
-    v_base = k_base + num_slots
+                     num_pages, kv_buf, s_buf, sems, quantized):
+    """Per-chunk page-copy descriptors (shared by both kernels): a page's
+    ENTIRE K+V is one contiguous [2*page_size, Hkv*D] run (V rows follow the
+    K rows — see ops/kv_cache.py), so each page costs ONE data DMA plus one
+    [2*page_size, SCALE_LANES] scale-row DMA when INT8."""
+    rows = 2 * page_size
 
     def chunk_copies(chunk_idx, slot):
-        kcopies, vcopies = [], []
+        copies = []
         for i in range(ppc):
             page = bt_ref[si, chunk_idx * ppc + i]
-            dst = pl.ds(i * page_size, page_size)
-            kcopies.append(pltpu.make_async_copy(
-                data_ref.at[pl.ds(k_base + page * page_size, page_size)],
-                k_buf.at[slot, dst], sems.at[slot, 0]))
-            vcopies.append(pltpu.make_async_copy(
-                data_ref.at[pl.ds(v_base + page * page_size, page_size)],
-                v_buf.at[slot, dst], sems.at[slot, 1]))
+            src = pl.ds((li * num_pages + page) * rows, rows)
+            dst = pl.ds(i * rows, rows)
+            copies.append(pltpu.make_async_copy(
+                data_ref.at[src], kv_buf.at[slot, dst], sems.at[slot]))
             if quantized:
-                kcopies.append(pltpu.make_async_copy(
-                    scales_ref.at[pl.ds(k_base + page * page_size,
-                                        page_size)],
-                    ks_buf.at[slot, dst], sems.at[slot, 0]))
-                vcopies.append(pltpu.make_async_copy(
-                    scales_ref.at[pl.ds(v_base + page * page_size,
-                                        page_size)],
-                    vs_buf.at[slot, dst], sems.at[slot, 1]))
-        return kcopies, vcopies
+                copies.append(pltpu.make_async_copy(
+                    scales_ref.at[src], s_buf.at[slot, dst], sems.at[slot]))
+        return copies
 
     return chunk_copies
 
 
-def _flash_heads_chunk(carry, q_heads, k_buf_slot, v_buf_slot, ks, vs, mask,
-                       hkv, d, quantized):
+def _page_slices(kv_slot, s_slot, ppc, ps, quantized):
+    """Static per-page K/V (and scale) views of a chunk buffer: page i's K
+    rows sit at [i*2*ps, i*2*ps+ps), its V rows right after."""
+    k_pages = [kv_slot[i * 2 * ps:i * 2 * ps + ps] for i in range(ppc)]
+    v_pages = [kv_slot[i * 2 * ps + ps:(i + 1) * 2 * ps] for i in range(ppc)]
+    if quantized:
+        ks_pages = [s_slot[i * 2 * ps:i * 2 * ps + ps] for i in range(ppc)]
+        vs_pages = [s_slot[i * 2 * ps + ps:(i + 1) * 2 * ps]
+                    for i in range(ppc)]
+    else:
+        ks_pages = vs_pages = [None] * ppc
+    return k_pages, v_pages, ks_pages, vs_pages
+
+
+def _decode_chunk_update(carry, q_bd, sel, kv_slot, s_slot, mask, scale, ppc,
+                         ps, quantized, dot_dtype, q_scale=None):
+    """One online-softmax update over a KV chunk for decode, all heads in one
+    MXU dot per page. q_bd: [Hq, Hkv*D] block-diagonal (row i nonzero only in its
+    kv-head's lane block) so a single contraction over Hkv*D computes every
+    head's scores at once. INT8 per-row scales are never multiplied into the
+    K/V streams: they fold into scores (K) and probs (V) through `sel`
+    ([Hq, SCALE_LANES], sel[i, h] = 1 iff h == i // g), a tiny MXU dot whose
+    contraction has exactly one nonzero term — exact. carry: (m [Hq,1],
+    l [Hq,1], acc [Hq, Hkv*D] full-width; per-head lanes extracted once at
+    the end). Dots run in `dot_dtype` (bf16 on the production path — int8→
+    bf16 casts are exact; f32 only when both q and the cache are f32) with
+    f32 accumulation."""
+    m, l, acc = carry
+    int8_dots = q_bd.dtype == jnp.int8
+    k_pages, v_pages, ks_pages, vs_pages = _page_slices(
+        kv_slot, s_slot, ppc, ps, quantized)
+    if int8_dots:
+        # q_bd is per-row absmax-quantized int8 (q_scale carries its scale ×
+        # the softmax scale): the dots run on the MXU's int8 path (2× the
+        # bf16 rate on v5e) and the int32 result is rescaled exactly.
+        s_parts = [lax.dot_general(
+            q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32) for kp in k_pages]
+        s = (s_parts[0] if ppc == 1
+             else jnp.concatenate(s_parts, axis=1)
+             ).astype(jnp.float32) * q_scale              # [Hq, chunk]
+    else:
+        s_parts = [lax.dot_general(
+            q_bd, kp.astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for kp in k_pages]
+        s = (s_parts[0] if ppc == 1
+             else jnp.concatenate(s_parts, axis=1)) * scale
+    if quantized:
+        sc_parts = [lax.dot_general(
+            sel, ksp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for ksp in ks_pages]
+        s = s * (sc_parts[0] if ppc == 1
+                 else jnp.concatenate(sc_parts, axis=1))
+    s = jnp.where(mask, s, MASK_VALUE)
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m, m_curr)
+    alpha = jnp.exp(m - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+    if quantized:
+        vc_parts = [lax.dot_general(
+            sel, vsp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for vsp in vs_pages]
+        p = p * (vc_parts[0] if ppc == 1
+                 else jnp.concatenate(vc_parts, axis=1))
+    if int8_dots:
+        # p ∈ [0, max]: per-row absmax int8 quantization of the probs (the
+        # V-side scales are already folded into p above).
+        pmax = jnp.max(p, axis=-1, keepdims=True)
+        psc = jnp.maximum(pmax, 1e-20) / 127.0
+        pd = jnp.round(p / psc).astype(jnp.int8)
+        o = sum(lax.dot_general(
+            pd[:, i * ps:(i + 1) * ps], v_pages[i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32) for i in range(ppc))
+        o = o.astype(jnp.float32) * psc
+    else:
+        pd = p.astype(dot_dtype)
+        o = sum(lax.dot_general(
+            pd[:, i * ps:(i + 1) * ps], v_pages[i].astype(dot_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) for i in range(ppc))
+    return (m_next, l_next, acc * alpha + o)
+
+
+def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, hkv,
+                       d, quantized):
     """One online-softmax update over a KV chunk, per-head statically
-    unrolled. carry: tuple over heads of (m, l, acc); q_heads: per-head
-    [rows, d] f32 (pre-scaled); k/v_buf_slot: [chunk, Hkv*D]; ks/vs:
-    [chunk, Hkv] f32; mask: [rows, chunk] bool."""
+    unrolled (prefill: q blocks are large, so per-head dots are already
+    MXU-sized). carry: tuple over heads of (m, l, acc); q_heads: per-head
+    [rows, d] f32 (pre-scaled); kv_slot/s_slot: page-interleaved chunk
+    buffers (see _page_slices); mask: [rows, chunk] bool."""
+    k_pages, v_pages, ks_pages, vs_pages = _page_slices(
+        kv_slot, s_slot, ppc, ps, quantized)
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
-        k_h = k_buf_slot[:, h * d:(h + 1) * d].astype(jnp.float32)
-        if quantized:
-            k_h = k_h * ks[:, h:h + 1].astype(jnp.float32)
-        s = lax.dot_general(
-            q_heads[h], k_h, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [rows, chunk]
+        hs = slice(h * d, (h + 1) * d)
+
+        def dequant(pages, s_pages):
+            cols = []
+            for i in range(ppc):
+                x = pages[i][:, hs].astype(jnp.float32)
+                if quantized:
+                    x = x * s_pages[i][:, h:h + 1].astype(jnp.float32)
+                cols.append(x)
+            return cols
+        k_cols = dequant(k_pages, ks_pages)
+        s_parts = [lax.dot_general(
+            q_heads[h], kc, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for kc in k_cols]
+        s = (s_parts[0] if ppc == 1
+             else jnp.concatenate(s_parts, axis=1))      # [rows, chunk]
         s = jnp.where(mask, s, MASK_VALUE)
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        v_h = v_buf_slot[:, h * d:(h + 1) * d].astype(jnp.float32)
-        if quantized:
-            v_h = v_h * vs[:, h:h + 1].astype(jnp.float32)
-        o_curr = lax.dot_general(
-            p, v_h, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)          # [rows, d]
+        v_cols = dequant(v_pages, vs_pages)
+        o_curr = sum(lax.dot_general(
+            p[:, i * ps:(i + 1) * ps], v_cols[i],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) for i in range(ppc))
         out.append((m_next, l_next, acc * alpha + o_curr))
     return tuple(out)
 
@@ -123,14 +213,12 @@ def _decode_kernel(
     scales_in_ref,  # HBM (aliased with scales_out)
     # outputs
     o_ref,          # [1, Hq, D]
-    data_ref,       # HBM [L*2*num_slots, Hkv*D] (the cache; aliased)
-    scales_ref,     # HBM [rows, Hkv] f32
+    data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D] (the cache; aliased)
+    scales_ref,     # HBM [rows, SCALE_LANES] bf16
     # scratch
-    k_buf,          # VMEM [2, chunk, Hkv*D]
-    v_buf,
-    ks_buf,         # VMEM [2, chunk, SCALE_LANES] bf16 (lane h = head h)
-    vs_buf,
-    sems,           # DMA sems [2, 2]
+    kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
+    s_buf,          # VMEM [2, ppc*2*page_size, SCALE_LANES] bf16 (lane h = head h)
+    sems,           # DMA sems [2]
     wsem,           # DMA sem for the row writes
     *,
     scale: float,
@@ -142,6 +230,8 @@ def _decode_kernel(
     num_slots: int,
     quantized: bool,
     enable_write: bool,
+    dot_dtype,
+    int8_dots: bool,
 ):
     del data_in_ref, scales_in_ref
     si = pl.program_id(0)
@@ -150,23 +240,24 @@ def _decode_kernel(
     slot = slot_ref[si]
     chunk = ppc * page_size
     n_chunks = lax.div(ctx + chunk - 1, chunk)
-    k_base = (li * 2) * num_slots
-    v_base = k_base + num_slots
+    num_pages = num_slots // page_size
 
     def write_copies():
+        base = ((li * num_pages + slot // page_size) * 2 * page_size
+                + lax.rem(slot, page_size))
         cs = [pltpu.make_async_copy(kr_ref.at[pl.ds(si, 1)],
-                                    data_ref.at[pl.ds(k_base + slot, 1)],
+                                    data_ref.at[pl.ds(base, 1)],
                                     wsem),
               pltpu.make_async_copy(vr_ref.at[pl.ds(si, 1)],
-                                    data_ref.at[pl.ds(v_base + slot, 1)],
+                                    data_ref.at[pl.ds(base + page_size, 1)],
                                     wsem)]
         if quantized:
             cs.append(pltpu.make_async_copy(
                 ksc_ref.at[pl.ds(si, 1)],
-                scales_ref.at[pl.ds(k_base + slot, 1)], wsem))
+                scales_ref.at[pl.ds(base, 1)], wsem))
             cs.append(pltpu.make_async_copy(
                 vsc_ref.at[pl.ds(si, 1)],
-                scales_ref.at[pl.ds(v_base + slot, 1)], wsem))
+                scales_ref.at[pl.ds(base + page_size, 1)], wsem))
         return cs
 
     valid_write = (slot < num_slots) if enable_write else False
@@ -178,8 +269,8 @@ def _decode_kernel(
                 c.start()
 
     chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc,
-                                    page_size, li, num_slots, k_buf, v_buf,
-                                    ks_buf, vs_buf, sems, quantized)
+                                    page_size, li, num_pages, kv_buf, s_buf,
+                                    sems, quantized)
 
     def start_chunk(chunk_idx, slot_buf):
         if enable_write:
@@ -189,16 +280,42 @@ def _decode_kernel(
             def _():
                 for c in write_copies():
                     c.wait()
-        kcopies, vcopies = chunk_copies(chunk_idx, slot_buf)
-        for c in kcopies + vcopies:
+        for c in chunk_copies(chunk_idx, slot_buf):
             c.start()
 
     @pl.when(n_chunks > 0)
     def _():
         start_chunk(0, 0)
 
-    q = q_ref[0].astype(jnp.float32) * scale          # [Hq, D]
-    q_heads = [q[h * g:(h + 1) * g] for h in range(hkv)]
+    hq = hkv * g
+    # Block-diagonal Q: row i nonzero only in lanes of its kv head (i // g),
+    # so one contraction over Hkv*D computes every head's scores at once.
+    lane = lax.broadcasted_iota(jnp.int32, (hq, hkv * d), 1)
+    head = lax.broadcasted_iota(jnp.int32, (hq, hkv * d), 0) // g
+    blockdiag = lane // d == head
+    q_scale = None
+    if quantized and int8_dots:
+        # Per-row absmax int8 quantization of Q: the dots then run on the
+        # MXU's 2x-rate int8 path against the raw int8 KV stream; zeros
+        # outside the diagonal blocks stay exactly zero.
+        qf = q_ref[0].astype(jnp.float32)             # [Hq, D]
+        qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qs = jnp.maximum(qmax, 1e-20) / 127.0         # [Hq, 1]
+        q_i8 = jnp.round(qf / qs).astype(jnp.int8)
+        q_bd = jnp.where(blockdiag, jnp.tile(q_i8, (1, hkv)),
+                         jnp.zeros((), jnp.int8))
+        q_scale = qs * scale
+    else:
+        q = q_ref[0].astype(dot_dtype)                # [Hq, D]
+        q_bd = jnp.where(blockdiag, jnp.tile(q, (1, hkv)),
+                         jnp.zeros((), dot_dtype))
+    # Per-row scale selector: one 1 per row at its kv head's scale lane.
+    sel = None
+    if quantized:
+        sl = s_buf.shape[-1]
+        sel = (lax.broadcasted_iota(jnp.int32, (hq, sl), 1)
+               == lax.broadcasted_iota(jnp.int32, (hq, sl), 0) // g
+               ).astype(SCALE_DTYPE)
 
     def body(ci, carry):
         slot_buf = lax.rem(ci, 2)
@@ -207,38 +324,38 @@ def _decode_kernel(
         def _():
             start_chunk(ci + 1, lax.rem(ci + 1, 2))
 
-        kcopies, vcopies = chunk_copies(ci, slot_buf)
-        for c in kcopies + vcopies:
+        for c in chunk_copies(ci, slot_buf):
             c.wait()
-        pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (g, chunk), 1)
+        pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
         mask = pos < ctx
-        ks = ks_buf[slot_buf] if quantized else None
-        vs = vs_buf[slot_buf] if quantized else None
-        return _flash_heads_chunk(carry, q_heads, k_buf[slot_buf],
-                                  v_buf[slot_buf], ks, vs, mask, hkv, d,
-                                  quantized)
+        return _decode_chunk_update(
+            carry, q_bd, sel, kv_buf[slot_buf],
+            s_buf[slot_buf] if quantized else None, mask, scale, ppc,
+            page_size, quantized, dot_dtype, q_scale)
 
-    init = tuple((jnp.full((g, 1), MASK_VALUE, jnp.float32),
-                  jnp.zeros((g, 1), jnp.float32),
-                  jnp.zeros((g, d), jnp.float32)) for _ in range(hkv))
-    carry = lax.fori_loop(0, n_chunks, body, init)
+    init = (jnp.full((hq, 1), MASK_VALUE, jnp.float32),
+            jnp.zeros((hq, 1), jnp.float32),
+            jnp.zeros((hq, hkv * d), jnp.float32))
+    m, l, acc = lax.fori_loop(0, n_chunks, body, init)
 
+    out = acc / jnp.where(l == 0.0, 1.0, l)            # [Hq, Hkv*D]
     for h in range(hkv):
-        m, l, acc = carry[h]
-        out = acc / jnp.where(l == 0.0, 1.0, l)
-        o_ref[0, h * g:(h + 1) * g, :] = out.astype(o_ref.dtype)
+        o_ref[0, h * g:(h + 1) * g, :] = out[
+            h * g:(h + 1) * g, h * d:(h + 1) * d].astype(o_ref.dtype)
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
-                     "pages_per_chunk", "enable_write", "interpret"))
+                     "pages_per_chunk", "enable_write", "int8_dots",
+                     "interpret"))
 def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
                            scales, layer_i, context_lens, block_tables,
                            slot_mapping, *, scale: float, page_size: int,
                            num_slots: int, num_layers: int,
                            pages_per_chunk: int = 0,
                            enable_write: bool = False,
+                           int8_dots: bool = True,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized when
     the cache is int8); k_scales/v_scales: f32[S, Hkv] (dummy [S, 1] when
@@ -258,10 +375,17 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
         ppc -= 1
     chunk = ppc * page_size
 
+    # Production inputs are bf16/int8: run the MXU dots in bf16 (int8→bf16
+    # casts are exact, f32 accumulation). Keep f32 dots only when both q and
+    # the cache are f32 (the CPU parity-test path).
+    dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
+                                 and data.dtype == jnp.float32)
+                 else jnp.bfloat16)
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
         hkv=hkv, g=g, d=d, num_slots=num_slots, quantized=quantized,
-        enable_write=enable_write)
+        enable_write=enable_write, dot_dtype=dot_dtype,
+        int8_dots=int8_dots and quantized)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(s,),
@@ -280,11 +404,9 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
             pl.BlockSpec(memory_space=pltpu.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
-            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
+            pltpu.VMEM((2, 2 * chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
     )
@@ -318,16 +440,14 @@ def _prefill_kernel(
     # inputs
     q_ref,          # [TQ, Hq, D] q-tile (all heads; Hq spans the full axis
     #                 to satisfy the TPU (8,128) block-tiling constraint)
-    data_ref,       # HBM [L*2*num_slots, Hkv*D]
-    scales_ref,     # HBM f32[rows, Hkv] (dummy when not quantized)
+    data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D]
+    scales_ref,     # HBM [rows, SCALE_LANES] bf16 (dummy when not quantized)
     # output
     o_ref,          # [TQ, Hq, D]
     # scratch
-    k_buf,          # VMEM [2, chunk, Hkv*D]
-    v_buf,
-    ks_buf,         # VMEM [2, chunk, SCALE_LANES] bf16 (lane h = head h)
-    vs_buf,
-    sems,           # DMA sems [2, 2]
+    kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
+    s_buf,          # VMEM [2, ppc*2*page_size, SCALE_LANES] bf16
+    sems,           # DMA sems [2]
     *,
     scale: float,
     page_size: int,
@@ -349,13 +469,13 @@ def _prefill_kernel(
     kv_hi = jnp.minimum(pos0 + tq, ctx)
     chunk = ppc * page_size
     n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
+    num_pages = num_slots // page_size
     chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc,
-                                    page_size, li, num_slots, k_buf, v_buf,
-                                    ks_buf, vs_buf, sems, quantized)
+                                    page_size, li, num_pages, kv_buf, s_buf,
+                                    sems, quantized)
 
     def start_chunk(chunk_idx, slot):
-        kcopies, vcopies = chunk_copies(chunk_idx, slot)
-        for c in kcopies + vcopies:
+        for c in chunk_copies(chunk_idx, slot):
             c.start()
 
     @pl.when(n_chunks > 0)
@@ -378,16 +498,14 @@ def _prefill_kernel(
         def _():
             start_chunk(ci + 1, lax.rem(ci + 1, 2))
 
-        kcopies, vcopies = chunk_copies(ci, slot)
-        for c in kcopies + vcopies:
+        for c in chunk_copies(ci, slot):
             c.wait()
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (rows, chunk),
                                                    1)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
-        ks = ks_buf[slot] if quantized else None
-        vs = vs_buf[slot] if quantized else None
-        return _flash_heads_chunk(carry, q_heads, k_buf[slot], v_buf[slot],
-                                  ks, vs, mask, hkv, d, quantized)
+        return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
+                                  s_buf[slot] if quantized else None, mask,
+                                  ppc, page_size, hkv, d, quantized)
 
     init = tuple((jnp.full((rows, 1), MASK_VALUE, jnp.float32),
                   jnp.zeros((rows, 1), jnp.float32),
@@ -448,11 +566,9 @@ def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
         ],
         out_specs=pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
-            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
-            pltpu.SemaphoreType.DMA((2, 2)),
+            pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
+            pltpu.VMEM((2, 2 * chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
@@ -482,7 +598,7 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
     an aligned read-modify-write variant exists."""
     if is_prefill:
         cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
-                         num_layers)
+                         num_layers, page_size)
         out = ragged_prefill_attention(
             q, cache["data"], cache["scales"], layer_i, meta.tile_seq,
             meta.tile_pos0, meta.context_lens, meta.block_tables, scale=scale,
@@ -508,7 +624,7 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
             enable_write=True, interpret=interpret)
         return out, {"data": data, "scales": scales}
     cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
-                     num_layers)
+                     num_layers, page_size)
     data, scales = cache["data"], cache["scales"]
     k_rows = jnp.zeros((t, hkv * d), data.dtype)
     v_rows = k_rows

@@ -36,7 +36,7 @@ def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
     qmax = max_q_len
 
     cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
-                     num_layers)
+                     num_layers, page_size)
     kd, vd = gather_pages(cache, layer_i, meta.block_tables,
                           num_gather_pages, page_size, num_slots, hkv,
                           num_layers)

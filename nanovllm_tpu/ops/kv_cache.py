@@ -3,13 +3,14 @@
 Reference equivalents: the `store_kvcache` Triton kernels
 (nanovllm/layers/attention.py:19-55, attention_triton.py:9-59).
 
-Layout: ONE 2-D array with all KV heads contiguous in the lane (minor) dim:
+Layout: ONE 2-D array with all KV heads contiguous in the lane (minor) dim,
+and each page's V rows directly after its K rows:
 
-    data[(layer * 2 + kv) * num_slots + slot, Hkv * D]
+    data[((layer * num_pages + page) * 2 + kv) * page_size + offset, Hkv * D]
 
 where slot = page_id * page_size + offset. INT8 mode keeps per-(token, head)
-absmax scales in a parallel bf16 array `scales[(layer*2+kv)*num_slots+slot,
-SCALE_LANES]` with the head-h scale at lane h (lanes >= Hkv unused). The
+absmax scales in a parallel bf16 array (same row indexing,
+SCALE_LANES lanes) with the head-h scale at lane h (lanes >= Hkv unused). The
 full-tile lane width is load-bearing: Mosaic only DMAs lane windows that
 cover whole 128-lane tiles, so a dense [rows, Hkv] array cannot be streamed
 page-wise, while a denser packing (16 tokens x 8 heads per row) cannot be
@@ -18,11 +19,12 @@ reshape. bf16 keeps the padding overhead at 25% of the int8 page bytes
 (scale relative error ~0.4% vs the ~0.8% int8 quantization error).
 
 Why this exact shape (each point learned on TPU hardware; see git history for
-the earlier head-major layout and its measured costs):
-- A page is ONE contiguous [page_size, Hkv*D] run: the Pallas kernels stream a
-  whole page (all heads) with a single DMA, and its scales with one more —
-  8 DMAs per 2-page chunk instead of 64 with a head-major layout. DMA-issue
-  rate, not HBM bandwidth, was the decode kernel's bottleneck.
+the earlier head-major and split-K/V layouts and their measured costs):
+- A page is ONE contiguous [2 * page_size, Hkv*D] run carrying K then V for
+  every head: the Pallas kernels stream a page's ENTIRE KV (and its scales
+  with one more copy) in a single DMA — 2 DMAs per int8 page instead of 4
+  (split K/V) or 64 (head-major). DMA-issue rate, not HBM bandwidth, was the
+  decode kernel's measured bottleneck at every step of this evolution.
 - New KV rows are leading-dim row scatters ([T, Hkv*D] and [T, Hkv]): the one
   scatter pattern XLA performs in place on a donated buffer with no operand
   relayout. The old 1-D scales array made XLA spend 94 us/layer scattering
@@ -64,8 +66,17 @@ def create_kv_cache(num_layers: int, num_kv_heads: int, num_pages: int,
     return {"data": data, "scales": scales}
 
 
-def kv_row_base(layer_i, is_v: int, num_slots: int):
-    return (layer_i * 2 + is_v) * num_slots
+def kv_rows(layer_i, is_v, slots, page_size: int, num_pages: int):
+    """Row indices of (layer, k|v, slot) under the page-interleaved layout
+    (works elementwise on traced arrays and plain ints)."""
+    page = slots // page_size
+    off = slots % page_size
+    return ((layer_i * num_pages + page) * 2 + is_v) * page_size + off
+
+
+def kv_page_row(layer_i, page, page_size: int, num_pages: int):
+    """First row of a page's 2*page_size-row K+V block."""
+    return (layer_i * num_pages + page) * 2 * page_size
 
 
 def quantize_rows(x):
@@ -87,7 +98,7 @@ def quantize_rows(x):
 
 
 def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
-             num_layers: int) -> dict:
+             num_layers: int, page_size: int) -> dict:
     """Scatter new K/V rows for one layer into the paged cache (the XLA
     write path, used by prefill and the reference backend; the Pallas decode
     kernel writes its rows itself via in-kernel DMA).
@@ -98,12 +109,14 @@ def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
     """
     data = cache["data"]
     t, hkv, d = k.shape
-    k_base = kv_row_base(layer_i, 0, num_slots)
-    v_base = kv_row_base(layer_i, 1, num_slots)
+    num_pages = num_slots // page_size
     valid = slot_mapping < num_slots
     total = data.shape[0]
-    k_rows = jnp.where(valid, k_base + slot_mapping, total)  # [T]
-    v_rows = jnp.where(valid, v_base + slot_mapping, total)
+    slots = jnp.minimum(slot_mapping, num_slots - 1)
+    k_rows = jnp.where(valid, kv_rows(layer_i, 0, slots, page_size,
+                                      num_pages), total)  # [T]
+    v_rows = jnp.where(valid, kv_rows(layer_i, 1, slots, page_size,
+                                      num_pages), total)
     rows = jnp.concatenate([k_rows, v_rows])
     if data.dtype == jnp.int8:
         kq, ks = quantize_rows(k)
@@ -131,12 +144,13 @@ def gather_pages(cache: dict, layer_i, block_tables, num_gather_pages: int,
     data = cache["data"]
     s = block_tables.shape[0]
     d = data.shape[1] // num_kv_heads
+    num_pages = num_slots // page_size
     tables = block_tables[:, :num_gather_pages]  # [S, Pk]
     slots = (tables[:, :, None] * page_size
              + jnp.arange(page_size, dtype=jnp.int32)[None, None, :])
     slots = slots.reshape(s, num_gather_pages * page_size)  # [S, K]
-    k_rows = kv_row_base(layer_i, 0, num_slots) + slots
-    v_rows = kv_row_base(layer_i, 1, num_slots) + slots
+    k_rows = kv_rows(layer_i, 0, slots, page_size, num_pages)
+    v_rows = kv_rows(layer_i, 1, slots, page_size, num_pages)
     # [S, K, Hkv*D] -> [S, K, Hkv, D] -> [S, Hkv, K, D]
     def fetch(rows):
         x = data[rows].reshape(s, -1, num_kv_heads, d)

@@ -15,7 +15,7 @@ import pytest
 from nanovllm_tpu.ops.attention_pallas import (
     paged_decode_attention, ragged_prefill_attention)
 from nanovllm_tpu.ops.kv_cache import (
-    create_kv_cache, gather_pages, kv_row_base, quantize_rows, write_kv)
+    create_kv_cache, gather_pages, kv_rows, quantize_rows, write_kv)
 
 
 def make_cache(key, num_layers, hkv, num_pages, page_size, d):
@@ -111,7 +111,7 @@ def test_paged_decode_matches_ref(s, hq, hkv, page_size, pages_per_seq):
         num_layers=2)
     # Reference: write through XLA, then dense attention.
     cache_ref = write_kv(dict(cache), layer_i, k_new, v_new, slot_mapping,
-                         num_slots, 2)
+                         num_slots, 2, page_size)
     out_ref = ref_decode(q, cache_ref, layer_i, context_lens, block_tables,
                          page_size, num_slots, 2, scale)
     np.testing.assert_allclose(np.asarray(out_pallas), np.asarray(out_ref),
@@ -218,29 +218,31 @@ def test_ragged_prefill_matches_dense():
 
 def test_write_kv_roundtrip():
     """write_kv rows land at the right (layer, k/v, slot); pads drop."""
-    L, hkv, d, num_slots = 3, 2, 4, 32
+    L, hkv, d, page_size, num_pages = 3, 2, 4, 8, 4
+    num_slots = page_size * num_pages
     cache = {"data": jnp.zeros((L * 2 * num_slots, hkv * d), jnp.float32),
              "scales": jnp.ones((1, 1), jnp.float32)}
     t = 4
     k = jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     v = -jnp.arange(t * hkv * d, dtype=jnp.float32).reshape(t, hkv, d)
     slots = jnp.array([5, 9, num_slots, 0], jnp.int32)  # 3rd is a pad token
-    out = write_kv(cache, 1, k, v, slots, num_slots, L)
+    out = write_kv(cache, 1, k, v, slots, num_slots, L, page_size)
     out = np.asarray(out["data"])
-    base_k = kv_row_base(1, 0, num_slots)
-    base_v = kv_row_base(1, 1, num_slots)
+
+    def row(is_v, slot):
+        return int(kv_rows(1, is_v, slot, page_size, num_pages))
+
     for h in range(hkv):
         col = slice(h * d, (h + 1) * d)
-        np.testing.assert_array_equal(out[base_k + 5, col], np.asarray(k[0, h]))
-        np.testing.assert_array_equal(out[base_v + 9, col], np.asarray(v[1, h]))
-        np.testing.assert_array_equal(out[base_k + 0, col], np.asarray(k[3, h]))
+        np.testing.assert_array_equal(out[row(0, 5), col], np.asarray(k[0, h]))
+        np.testing.assert_array_equal(out[row(1, 9), col], np.asarray(v[1, h]))
+        np.testing.assert_array_equal(out[row(0, 0), col], np.asarray(k[3, h]))
         # Pad token dropped: ensure k[2] did not corrupt the V region.
-        assert not np.allclose(out[base_v + 0, col], np.asarray(k[2, h]))
-    # Layers 0 and 2 untouched.
-    assert np.all(out[kv_row_base(0, 0, num_slots):
-                      kv_row_base(0, 2, num_slots)] == 0)
-    assert np.all(out[kv_row_base(2, 0, num_slots):
-                      kv_row_base(2, 2, num_slots)] == 0)
+        assert not np.allclose(out[row(1, 0), col], np.asarray(k[2, h]))
+    # Layers 0 and 2 untouched (each layer owns 2*num_slots contiguous rows).
+    per_layer = 2 * num_slots
+    assert np.all(out[0:per_layer] == 0)
+    assert np.all(out[2 * per_layer:] == 0)
 
 
 def test_int8_kv_quantized_decode_close_to_fp32():
@@ -270,7 +272,7 @@ def test_int8_kv_quantized_decode_close_to_fp32():
         for si in range(s_)]).astype(np.int32)
     for dt in caches:
         caches[dt] = write_kv(caches[dt], 0, k_prefix, v_prefix,
-                              jnp.asarray(slots), num_slots, 1)
+                              jnp.asarray(slots), num_slots, 1, page_size)
 
     # Decode step: new token at position ctx_len (context becomes ctx_len+1).
     k_new = jax.random.normal(kn, (s_, hkv, d), jnp.float32)
