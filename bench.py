@@ -13,8 +13,11 @@ from __future__ import annotations
 
 import argparse
 import json
+import logging
 import os
 import time
+
+logging.basicConfig(level=logging.INFO)
 
 import numpy as np
 

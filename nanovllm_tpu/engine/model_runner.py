@@ -338,11 +338,19 @@ class ModelRunner:
             if raw is None:
                 raw = build_decode_meta(seqs, s, cfg.kvcache_block_size,
                                         cfg.pages_per_seq, self.num_slots)
+        t0 = time.perf_counter()
         meta = jax.device_put(BatchMeta(**raw), self._rep)
         self.rng_key, sub = jax.random.split(self.rng_key)
         step_fn = self._get_step_fn(key)
+        t1 = time.perf_counter()
         self.kv_cache, tokens = step_fn(self.params, self.kv_cache, meta, sub)
-        return np.asarray(tokens)[:, : len(seqs)].T.tolist()
+        t2 = time.perf_counter()
+        out = np.asarray(tokens)[:, : len(seqs)].T.tolist()
+        t3 = time.perf_counter()
+        if t3 - t0 > 5.0:  # localize rare multi-second stalls (tunnel queue?)
+            logger.info("slow step %s: put+getfn %.2fs dispatch %.2fs "
+                        "sync %.2fs", key, t1 - t0, t2 - t1, t3 - t2)
+        return out
 
     def warmup(self, decode_bs=(), prefill=(), num_steps: int = 0):
         """Pre-compile the hot step buckets with all-pad batches (the

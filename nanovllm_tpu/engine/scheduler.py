@@ -92,12 +92,21 @@ class Scheduler:
         # mid-dispatch are truncated in postprocess.
         k = self.decode_steps
         if self.running:
-            # Never write KV past max_model_len capacity.
-            k = max(1, min(k, min(self.max_model_len - len(s) + 1
-                                  for s in self.running)))
+            # Never write KV past max_model_len capacity, and don't run fused
+            # steps no sequence can use (every seq finishes at max_tokens;
+            # overshoot past it is computed then discarded).
+            cap = min(self.max_model_len - len(s) + 1 for s in self.running)
             # Round down to a power of two so the K-step jit bucket count
             # stays logarithmic as sequences approach max_model_len.
+            k = max(1, min(k, cap))
             k = 1 << (k.bit_length() - 1)
+            # Clamp by what any sequence can still use — rounded UP to the
+            # next power of two (stays within the warmed bucket ladder;
+            # overshoot is bounded by `useful` itself).
+            useful = max(s.max_tokens - s.num_completion_tokens
+                         for s in self.running)
+            if useful < k:
+                k = 1 << max(0, useful - 1).bit_length()
         num_preempted = 0
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()

@@ -142,3 +142,33 @@ def test_preempted_seq_recovers_when_memory_frees():
     assert sch.is_finished()
     assert {s.seq_id for s in done} == {a.seq_id, b.seq_id}
     assert b.num_completion_tokens == 30
+
+def test_fused_steps_clamped_to_useful_pow2():
+    """Fused decode step count stays within the pow2 bucket ladder and never
+    exceeds what any sequence can use (max_tokens) by more than pow2
+    round-up, nor max_model_len capacity (round-down)."""
+    sch = make_scheduler(num_blocks=64, max_tokens=512)
+    sch.decode_steps = 32
+    s = seq(10, max_tokens=40)  # 40 completion tokens wanted
+    sch.add(s)
+    seqs, stats = sch.schedule()
+    sch.postprocess(seqs, [[1]])           # prefill: completion = 1
+    seqs, stats = sch.schedule()           # remaining useful = 39 -> k = 32
+    assert stats.num_steps == 32
+    sch.postprocess(seqs, [[2] * 32])      # completion = 33
+    seqs, stats = sch.schedule()           # useful = 7 -> pow2-up -> 8
+    assert stats.num_steps == 8
+    sch.postprocess(seqs, [[3] * 8])       # completion = 41 >= 40: finished
+    assert sch.is_finished()
+
+
+def test_fused_steps_capacity_round_down():
+    """Near max_model_len, k rounds DOWN (never writes KV past capacity)."""
+    sch = make_scheduler(num_blocks=64, max_tokens=128)  # max_model_len 128
+    sch.decode_steps = 32
+    s = seq(100, max_tokens=500)
+    sch.add(s)
+    seqs, _ = sch.schedule()
+    sch.postprocess(seqs, [[1]])           # len = 101
+    seqs, stats = sch.schedule()           # capacity = 128-101+1 = 28 -> 16
+    assert stats.num_steps == 16
