@@ -41,7 +41,7 @@ def main():
     p.add_argument("--input-len", type=int, default=1024)
     p.add_argument("--output-len", type=int, default=1024)
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
-    p.add_argument("--kv-cache-dtype", default="auto",
+    p.add_argument("--kv-cache-dtype", default="int8",
                    choices=["auto", "bfloat16", "int8"])
     p.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
     p.add_argument("--decode-steps", type=int, default=32)
@@ -62,8 +62,11 @@ def main():
         load_format="auto" if args.model else "random",
     )
 
+    def vocab_of(llm):
+        return llm.config.model_config.vocab_size
+
     rng = np.random.default_rng(0)
-    vocab = llm.config.model_config.vocab_size
+    vocab = vocab_of(llm)
     prompts = [rng.integers(0, vocab, size=args.input_len).tolist()
                for _ in range(args.num_seqs)]
     sp = SamplingParams(temperature=0.6, max_tokens=args.output_len,
@@ -79,6 +82,20 @@ def main():
     llm.warmup(decode_bs=[args.num_seqs],
                prefill=[(seqs_per_prefill * args.input_len,
                          seqs_per_prefill)])
+    # Warmup generate (excluded from timing, like the reference bench.py's):
+    # different random prompts, same shapes — absorbs first-execution stalls
+    # without seeding the prefix cache for the timed prompts.
+    wrng = np.random.default_rng(1)
+    wprompts = [wrng.integers(0, vocab_of(llm), size=args.input_len).tolist()
+                for _ in range(args.num_seqs)]
+    llm.generate(wprompts,
+                 SamplingParams(temperature=0.6,
+                                max_tokens=min(args.decode_steps,
+                                               args.output_len),
+                                ignore_eos=True),
+                 use_tqdm=False)
+    from nanovllm_tpu.utils.metrics import EngineMetrics
+    llm.metrics = EngineMetrics()  # report only the timed region
 
     t0 = time.perf_counter()
     llm.generate(prompts, sp, use_tqdm=True)

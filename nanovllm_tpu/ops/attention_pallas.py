@@ -41,15 +41,16 @@ from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, SCALE_LANES,
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc, page_size, li,
+def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, li,
                      num_pages, kv_buf, s_buf, sems, quantized):
     """Per-chunk page-copy descriptors (shared by both kernels): a page's
     ENTIRE K+V is one contiguous [2*page_size, Hkv*D] run (V rows follow the
     K rows — see ops/kv_cache.py), so each page costs ONE data DMA plus one
-    [2*page_size, SCALE_LANES] scale-row DMA when INT8."""
+    [2*page_size, SCALE_LANES] scale-row DMA when INT8. `si` is per call so
+    a grid step can prefetch the NEXT sequence's first chunk."""
     rows = 2 * page_size
 
-    def chunk_copies(chunk_idx, slot):
+    def chunk_copies(si, chunk_idx, slot):
         copies = []
         for i in range(ppc):
             page = bt_ref[si, chunk_idx * ppc + i]
@@ -152,12 +153,13 @@ def _decode_chunk_update(carry, q_bd, sel, kv_slot, s_slot, mask, scale, ppc,
 
 
 def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, hkv,
-                       d, quantized):
+                       d, quantized, dot_dtype, scale):
     """One online-softmax update over a KV chunk, per-head statically
     unrolled (prefill: q blocks are large, so per-head dots are already
     MXU-sized). carry: tuple over heads of (m, l, acc); q_heads: per-head
-    [rows, d] f32 (pre-scaled); kv_slot/s_slot: page-interleaved chunk
-    buffers (see _page_slices); mask: [rows, chunk] bool."""
+    [rows, d] in dot_dtype (unscaled — scale applies to scores in f32);
+    kv_slot/s_slot: page-interleaved chunk buffers (see _page_slices);
+    mask: [rows, chunk] bool."""
     k_pages, v_pages, ks_pages, vs_pages = _page_slices(
         kv_slot, s_slot, ppc, ps, quantized)
     out = []
@@ -168,17 +170,18 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, hkv,
         def dequant(pages, s_pages):
             cols = []
             for i in range(ppc):
-                x = pages[i][:, hs].astype(jnp.float32)
+                x = pages[i][:, hs]
                 if quantized:
-                    x = x * s_pages[i][:, h:h + 1].astype(jnp.float32)
-                cols.append(x)
+                    x = (x.astype(jnp.float32)
+                         * s_pages[i][:, h:h + 1].astype(jnp.float32))
+                cols.append(x.astype(dot_dtype))
             return cols
         k_cols = dequant(k_pages, ks_pages)
         s_parts = [lax.dot_general(
             q_heads[h], kc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) for kc in k_cols]
         s = (s_parts[0] if ppc == 1
-             else jnp.concatenate(s_parts, axis=1))      # [rows, chunk]
+             else jnp.concatenate(s_parts, axis=1)) * scale  # [rows, chunk]
         s = jnp.where(mask, s, MASK_VALUE)
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
@@ -187,7 +190,7 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, hkv,
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         v_cols = dequant(v_pages, vs_pages)
         o_curr = sum(lax.dot_general(
-            p[:, i * ps:(i + 1) * ps], v_cols[i],
+            p[:, i * ps:(i + 1) * ps].astype(dot_dtype), v_cols[i],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) for i in range(ppc))
         out.append((m_next, l_next, acc * alpha + o_curr))
@@ -220,6 +223,7 @@ def _decode_kernel(
     s_buf,          # VMEM [2, ppc*2*page_size, SCALE_LANES] bf16 (lane h = head h)
     sems,           # DMA sems [2]
     wsem,           # DMA sem for the row writes
+    gctr,           # SMEM i32[1]: global chunk counter (persists across grid)
     *,
     scale: float,
     page_size: int,
@@ -268,24 +272,38 @@ def _decode_kernel(
             for c in write_copies():
                 c.start()
 
-    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc,
+    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
                                     page_size, li, num_pages, kv_buf, s_buf,
                                     sems, quantized)
+    s_total = ctx_ref.shape[0]
 
-    def start_chunk(chunk_idx, slot_buf):
-        if enable_write:
-            # The step's own K/V row lands in the LAST page: its write must
-            # complete before that page is read back.
+    if enable_write:
+        # Simple per-sequence double buffering (interpret/testing path: the
+        # in-kernel row write must be waited before the last chunk reads the
+        # row's page back).
+        def start_chunk(chunk_idx, slot_buf):
             @pl.when((chunk_idx == n_chunks - 1) & valid_write)
             def _():
                 for c in write_copies():
                     c.wait()
-        for c in chunk_copies(chunk_idx, slot_buf):
-            c.start()
+            for c in chunk_copies(si, chunk_idx, slot_buf):
+                c.start()
 
-    @pl.when(n_chunks > 0)
-    def _():
-        start_chunk(0, 0)
+        @pl.when(n_chunks > 0)
+        def _():
+            start_chunk(0, 0)
+    else:
+        # Cross-sequence pipelining: a persistent SMEM counter `gctr` tracks
+        # the global chunk index (chunks laid out seq-major in grid order);
+        # buffer slot = global index % 2. While computing its last chunk, a
+        # sequence prefetches the NEXT sequence's first chunk, so per-seq
+        # DMA latency is hidden (pad seqs have ctx 0 and sit at the END of
+        # the batch — build_decode_meta's contract).
+        @pl.when((si == 0) & (n_chunks > 0))
+        def _():
+            gctr[0] = 0
+            for c in chunk_copies(si, 0, 0):
+                c.start()
 
     hq = hkv * g
     # Block-diagonal Q: row i nonzero only in lanes of its kv head (i // g),
@@ -318,20 +336,41 @@ def _decode_kernel(
                ).astype(SCALE_DTYPE)
 
     def body(ci, carry):
-        slot_buf = lax.rem(ci, 2)
+        if enable_write:
+            slot_buf = lax.rem(ci, 2)
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            start_chunk(ci + 1, lax.rem(ci + 1, 2))
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                start_chunk(ci + 1, lax.rem(ci + 1, 2))
+        else:
+            gi = gctr[0]                      # global index of (si, ci)
+            slot_buf = lax.rem(gi, 2)
+            nslot = lax.rem(gi + 1, 2)
 
-        for c in chunk_copies(ci, slot_buf):
+            @pl.when(ci + 1 < n_chunks)
+            def _():
+                for c in chunk_copies(si, ci + 1, nslot):
+                    c.start()
+
+            nsi = jnp.minimum(si + 1, s_total - 1)
+            next_seq_real = (si + 1 < s_total) & (ctx_ref[nsi] > 0)
+
+            @pl.when((ci + 1 == n_chunks) & next_seq_real)
+            def _():
+                for c in chunk_copies(nsi, 0, nslot):
+                    c.start()
+
+        for c in chunk_copies(si, ci, slot_buf):
             c.wait()
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
         mask = pos < ctx
-        return _decode_chunk_update(
+        carry = _decode_chunk_update(
             carry, q_bd, sel, kv_buf[slot_buf],
             s_buf[slot_buf] if quantized else None, mask, scale, ppc,
             page_size, quantized, dot_dtype, q_scale)
+        if not enable_write:
+            gctr[0] = gi + 1
+        return carry
 
     init = (jnp.full((hq, 1), MASK_VALUE, jnp.float32),
             jnp.zeros((hq, 1), jnp.float32),
@@ -408,6 +447,7 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
             pltpu.VMEM((2, 2 * chunk, SCALE_LANES), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((1,), jnp.int32),
         ],
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
@@ -440,14 +480,21 @@ def _prefill_kernel(
     # inputs
     q_ref,          # [TQ, Hq, D] q-tile (all heads; Hq spans the full axis
     #                 to satisfy the TPU (8,128) block-tiling constraint)
-    data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D]
-    scales_ref,     # HBM [rows, SCALE_LANES] bf16 (dummy when not quantized)
-    # output
+    kr_ref,         # HBM [T, Hkv*D] new K rows (cache dtype) for write-through
+    vr_ref,         # HBM [T, Hkv*D]
+    ksc_ref,        # HBM [T, SCALE_LANES] bf16 (dummy [1, 1] when not int8)
+    vsc_ref,        # HBM [T, SCALE_LANES]
+    data_in_ref,    # HBM (aliased with data_ref)
+    scales_in_ref,  # HBM (aliased with scales_ref)
+    # outputs
     o_ref,          # [TQ, Hq, D]
+    data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D] (the cache; aliased)
+    scales_ref,     # HBM [rows, SCALE_LANES] bf16 (dummy when not quantized)
     # scratch
     kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
     s_buf,          # VMEM [2, ppc*2*page_size, SCALE_LANES] bf16
     sems,           # DMA sems [2]
+    wsem,           # DMA sem for the tile's row writes
     *,
     scale: float,
     page_size: int,
@@ -458,7 +505,9 @@ def _prefill_kernel(
     d: int,
     num_slots: int,
     quantized: bool,
+    dot_dtype,
 ):
+    del data_in_ref, scales_in_ref
     ti = pl.program_id(0)
     li = layer_ref[0]
     si = tile_seq_ref[ti]
@@ -470,12 +519,61 @@ def _prefill_kernel(
     chunk = ppc * page_size
     n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
     num_pages = num_slots // page_size
-    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, si, ppc,
+    ps = page_size
+
+    # Write-through: this tile's K/V rows land in its own page(s) as aligned
+    # row-run DMAs — the XLA row scatter lowers to a sequential per-row loop
+    # (measured 93 ms for an 8k-token prefill; these DMAs are ~0.3 ms).
+    # Tiles are page-aligned: pos0 % tq == 0 and pages hold ps tokens with
+    # tq % ps == 0 or ps % tq == 0, so each covered page gets one contiguous
+    # run of wr rows at a sublane-aligned offset.
+    wr = min(tq, ps)
+    npw = max(1, tq // ps)
+
+    def write_copies():
+        cs = []
+        for i in range(npw):
+            pos_i = pos0 + i * wr
+            valid = is_real & (pos_i < ctx)
+            page = bt_ref[si, lax.div(pos_i, ps)]
+            # Offset written as (…)*wr so Mosaic can prove sublane-tile
+            # alignment of the dynamic row start (pos0 % wr == 0 by the
+            # tiling contract, but that's invisible to the prover).
+            off = lax.rem(lax.div(pos_i, wr), ps // wr) * wr
+            base = (li * num_pages + page) * 2 * ps + off
+            src = pl.ds(ti * tq + i * wr, wr)
+            cs.append((valid, pltpu.make_async_copy(
+                kr_ref.at[src], data_ref.at[pl.ds(base, wr)], wsem)))
+            cs.append((valid, pltpu.make_async_copy(
+                vr_ref.at[src], data_ref.at[pl.ds(base + ps, wr)], wsem)))
+            if quantized:
+                cs.append((valid, pltpu.make_async_copy(
+                    ksc_ref.at[src], scales_ref.at[pl.ds(base, wr)], wsem)))
+                cs.append((valid, pltpu.make_async_copy(
+                    vsc_ref.at[src],
+                    scales_ref.at[pl.ds(base + ps, wr)], wsem)))
+        return cs
+
+    for valid, c in write_copies():
+        @pl.when(valid)
+        def _():
+            c.start()
+
+    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
                                     page_size, li, num_pages, kv_buf, s_buf,
                                     sems, quantized)
+    first_own_chunk = lax.div(jnp.maximum(pos0, 0), chunk)
 
     def start_chunk(chunk_idx, slot):
-        for c in chunk_copies(chunk_idx, slot):
+        # The tile reads its own freshly-written pages starting at
+        # first_own_chunk: the writes must land before those reads issue.
+        @pl.when(chunk_idx == first_own_chunk)
+        def _():
+            for valid, c in write_copies():
+                @pl.when(valid)
+                def _():
+                    c.wait()
+        for c in chunk_copies(si, chunk_idx, slot):
             c.start()
 
     @pl.when(n_chunks > 0)
@@ -485,8 +583,7 @@ def _prefill_kernel(
     rows = tq * g
     # Row r of head-group h corresponds to query token r // g.
     q_heads = [
-        q_ref[:, h * g:(h + 1) * g, :].reshape(rows, d).astype(jnp.float32)
-        * scale
+        q_ref[:, h * g:(h + 1) * g, :].reshape(rows, d).astype(dot_dtype)
         for h in range(hkv)
     ]
     q_pos = pos0 + lax.broadcasted_iota(jnp.int32, (rows, chunk), 0) // g
@@ -498,14 +595,15 @@ def _prefill_kernel(
         def _():
             start_chunk(ci + 1, lax.rem(ci + 1, 2))
 
-        for c in chunk_copies(ci, slot):
+        for c in chunk_copies(si, ci, slot):
             c.wait()
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (rows, chunk),
                                                    1)
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
         return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
                                   s_buf[slot] if quantized else None, mask,
-                                  ppc, page_size, hkv, d, quantized)
+                                  ppc, page_size, hkv, d, quantized,
+                                  dot_dtype, scale)
 
     init = tuple((jnp.full((rows, 1), MASK_VALUE, jnp.float32),
                   jnp.zeros((rows, 1), jnp.float32),
@@ -523,7 +621,8 @@ def _prefill_kernel(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
                      "q_tile", "pages_per_chunk", "interpret"))
-def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
+def ragged_prefill_attention(q, k_rows, v_rows, k_scales, v_scales, data,
+                             scales, layer_i, tile_seq, tile_pos0,
                              context_lens, block_tables, *, scale: float,
                              page_size: int, num_slots: int, num_layers: int,
                              q_tile: int, pages_per_chunk: int = 0,
@@ -531,15 +630,19 @@ def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
     """Ragged varlen causal prefill over the paged cache (cached prefixes
     included — the reference's flash_attn_varlen_func with block_table,
     attention.py:93-96, and the Triton prefill kernel capability,
-    attention_triton.py:101-183).
+    attention_triton.py:101-183), with write-through: each tile writes its
+    own K/V rows (k_rows/v_rows [T, Hkv*D], int8-quantized + scale rows when
+    the cache is int8) into its pages before reading them back.
 
     q: [T, Hq, D] flat tokens, each sequence's segment aligned to q_tile;
-    tile_seq/tile_pos0: i32[T // q_tile]. Returns [T, Hq, D]."""
+    tile_seq/tile_pos0: i32[T // q_tile]. Returns (out [T, Hq, D], data,
+    scales) — cache arrays aliased in place."""
     t, hq, d = q.shape
     quantized = data.dtype == jnp.int8
     hkv = data.shape[1] // d
     g = hq // hkv
     nt = t // q_tile
+    assert page_size % q_tile == 0 or q_tile % page_size == 0
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
         pages_per_chunk = max(1, 256 // page_size)
@@ -547,6 +650,9 @@ def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
     while pages_per_seq % ppc:
         ppc -= 1
     chunk = ppc * page_size
+    dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
+                                 and data.dtype == jnp.float32)
+                 else jnp.bfloat16)
 
     # ctx_ref padded with a dump row so pad tiles (tile_seq == S) index it.
     ctx_pad = jnp.concatenate(
@@ -555,7 +661,7 @@ def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
     kernel = functools.partial(
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
         tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots,
-        quantized=quantized)
+        quantized=quantized, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt,),
@@ -563,23 +669,41 @@ def ragged_prefill_attention(q, data, scales, layer_i, tile_seq, tile_pos0,
             pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
             pl.BlockSpec(memory_space=pltpu.ANY),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
         ],
-        out_specs=pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
+        out_specs=[
+            pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
         scratch_shapes=[
             pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
             pltpu.VMEM((2, 2 * chunk, SCALE_LANES), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
-    return pl.pallas_call(
+    out, data, scales = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((t, hq, d), q.dtype),
+        out_shape=[
+            jax.ShapeDtypeStruct((t, hq, d), q.dtype),
+            jax.ShapeDtypeStruct(data.shape, data.dtype),
+            jax.ShapeDtypeStruct(scales.shape, scales.dtype),
+        ],
         grid_spec=grid_spec,
+        # Operand numbering includes the 5 scalar-prefetch args: data is
+        # operand 10 -> output 1, scales operand 11 -> output 2.
+        input_output_aliases={10: 1, 11: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables, q, data, scales)
+    )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables,
+      q, k_rows, v_rows, k_scales, v_scales, data, scales)
+    return out, data, scales
 
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
@@ -596,16 +720,23 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
     real TPUs reject the unaligned 1-row HBM slice (Mosaic tiling requires
     sublane-aligned DMA slices), so this path is interpret/testing-only until
     an aligned read-modify-write variant exists."""
+    t, hkv, d = k.shape
     if is_prefill:
-        cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
-                         num_layers, page_size)
-        out = ragged_prefill_attention(
-            q, cache["data"], cache["scales"], layer_i, meta.tile_seq,
-            meta.tile_pos0, meta.context_lens, meta.block_tables, scale=scale,
+        if cache["data"].dtype == jnp.int8:
+            k_rows, k_scales = quantize_rows(k)
+            v_rows, v_scales = quantize_rows(v)
+        else:
+            k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
+            v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
+            k_scales = jnp.ones((1, 1), SCALE_DTYPE)
+            v_scales = k_scales
+        out, data, scales = ragged_prefill_attention(
+            q, k_rows, v_rows, k_scales, v_scales, cache["data"],
+            cache["scales"], layer_i, meta.tile_seq, meta.tile_pos0,
+            meta.context_lens, meta.block_tables, scale=scale,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
             q_tile=q_tile, interpret=interpret)
-        return out, cache
-    t, hkv, d = k.shape
+        return out, {"data": data, "scales": scales}
     if in_kernel_write:
         if cache["data"].dtype == jnp.int8:
             k_rows, k_scales = quantize_rows(k)

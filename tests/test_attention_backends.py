@@ -197,8 +197,29 @@ def test_ragged_prefill_matches_dense():
     tile_pos0 = jnp.asarray(np.array([32, 64, 0, -1], np.int32))
     scale = d ** -0.5
 
-    out = ragged_prefill_attention(
-        q, cache["data"], cache["scales"], layer_i, tile_seq, tile_pos0,
+    # Write-through inputs: rows gathered back from the cache itself, so the
+    # kernel's in-kernel page writes are idempotent and the read-path
+    # comparison against the pre-populated cache stays valid.
+    t_flat = q.shape[0]
+    hkv_d = cache["data"].shape[1]
+    k_rows = np.zeros((t_flat, hkv_d), np.float32)
+    v_rows = np.zeros((t_flat, hkv_d), np.float32)
+    data_np = np.asarray(cache["data"])
+    num_pages_total = num_slots // page_size
+    for r in range(t_flat):
+        ti, off = r // q_tile, r % q_tile
+        if int(tile_pos0[ti]) < 0:
+            continue
+        s_i, pos = int(tile_seq[ti]), int(tile_pos0[ti]) + off
+        slot = slot_of(tables, s_i, pos, page_size)
+        k_rows[r] = data_np[int(kv_rows(layer_i, 0, slot, page_size,
+                                        num_pages_total))]
+        v_rows[r] = data_np[int(kv_rows(layer_i, 1, slot, page_size,
+                                        num_pages_total))]
+    dummy = jnp.ones((1, 1), jnp.bfloat16)
+    out, _, _ = ragged_prefill_attention(
+        q, jnp.asarray(k_rows), jnp.asarray(v_rows), dummy, dummy,
+        cache["data"], cache["scales"], layer_i, tile_seq, tile_pos0,
         context_lens, block_tables, scale=scale, page_size=page_size,
         num_slots=num_slots, num_layers=2, q_tile=q_tile, interpret=True)
     ref = ref_prefill(q, cache, layer_i, np.asarray(tile_seq),
