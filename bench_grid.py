@@ -39,6 +39,8 @@ def main():
     p.add_argument("--batch-sizes", nargs="+", type=int, default=[16, 32, 64])
     p.add_argument("--input-lens", nargs="+", type=int,
                    default=[512, 1024, 2048])
+    p.add_argument("--kv-cache-dtype", default="auto",
+                   choices=["auto", "bfloat16", "int8"])
     args = p.parse_args()
 
     max_len = 2 * max(args.input_lens)
@@ -51,6 +53,7 @@ def main():
             max_num_batched_tokens=max(8192, max_len),
             max_num_seqs=max(args.batch_sizes),
             attn_backend=backend,
+            kv_cache_dtype=args.kv_cache_dtype,
             load_format="auto" if args.model else "random",
         )
         llm.generate([[1] * 16], SamplingParams(max_tokens=2, ignore_eos=True),

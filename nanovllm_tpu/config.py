@@ -118,6 +118,14 @@ class Config:
     # prefix cache and decode batch prep; falls back to the pure-Python
     # implementations when the toolchain is unavailable.
     native_core: bool = True
+    # Multi-host (pod slice): call jax.distributed.initialize() before device
+    # use so the ("tp",) mesh spans every chip in the slice. Each host runs
+    # the SAME engine loop; scheduling is deterministic given identical
+    # add_request streams + seed, so no control plane is needed (the TPU
+    # answer to the reference's SHM RPC, SURVEY §5.8). Hosts feed their local
+    # shards of the replicated batch and read back the fully-replicated
+    # sampled tokens.
+    distributed: bool = False
     seed: int = 0
     eos: int = -1
     model_config: ModelConfig | None = None

@@ -73,6 +73,11 @@ class ModelRunner:
     def __init__(self, config: Config, mesh=None, devices=None):
         self.config = config
         self.mc = config.model_config
+        if config.distributed and jax.process_count() == 1:
+            # Pod-slice runs: coordinator/process env comes from the TPU
+            # runtime (or JAX_COORDINATOR_ADDRESS etc.); afterwards
+            # jax.devices() is global and the tp mesh spans the slice.
+            jax.distributed.initialize()
         self.mesh = mesh or make_mesh(config.tensor_parallel_size, devices)
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         kvd = config.kv_cache_dtype

@@ -44,10 +44,11 @@ from jax import lax
 from nanovllm_tpu.config import ModelConfig
 from nanovllm_tpu.ops.norm import add_rms_norm, rms_norm
 from nanovllm_tpu.ops.quant import qmm
-from nanovllm_tpu.ops.rope import apply_rope
+from nanovllm_tpu.ops.rope import apply_rope, rope_cos_sin
 
 
-def _layer(x, residual, lp, cache, layer_i, meta, cfg: ModelConfig, attn_fn):
+def _layer(x, residual, lp, cache, layer_i, meta, cfg: ModelConfig, attn_fn,
+           rope_cs):
     hq = cfg.num_attention_heads
     hkv = cfg.num_key_value_heads
     d = cfg.head_dim
@@ -62,7 +63,7 @@ def _layer(x, residual, lp, cache, layer_i, meta, cfg: ModelConfig, attn_fn):
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], eps)
         k = rms_norm(k, lp["k_norm"], eps)
-    q, k = apply_rope(q, k, meta.positions, cfg.rope_theta)
+    q, k = apply_rope(q, k, *rope_cs)
 
     attn_out, cache = attn_fn(q, k, v, cache, layer_i, meta)
     h = qmm(attn_out.reshape(t, hq * d), lp["o"])
@@ -86,12 +87,13 @@ def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
     """
     x = params["embed"][meta.input_ids]
     residual = jnp.zeros_like(x)
+    rope_cs = rope_cos_sin(meta.positions, cfg.head_dim, cfg.rope_theta)
 
     def body(carry, inputs):
         x, residual, cache = carry
         layer_i, lp = inputs
         x, residual, cache = _layer(x, residual, lp, cache, layer_i, meta,
-                                    cfg, attn_fn)
+                                    cfg, attn_fn, rope_cs)
         return (x, residual, cache), None
 
     (x, residual, kv_cache), _ = lax.scan(

@@ -10,14 +10,20 @@ Applied in fp32 (matching the reference's fp32 upcast).
 import jax.numpy as jnp
 
 
-def apply_rope(q, k, positions, theta: float):
-    """q: [T, Hq, D], k: [T, Hk, D], positions: i32[T] (0-based)."""
-    head_dim = q.shape[-1]
+def rope_cos_sin(positions, head_dim: int, theta: float):
+    """cos/sin tables for `positions` (i32[T]) — computed ONCE per step and
+    closed over by every layer (positions are layer-invariant; computing them
+    inside the layer scan would redo the transcendentals L times)."""
     half = head_dim // 2
     inv_freq = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
-    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]  # [T, half]
-    cos = jnp.cos(angles)[:, None, :]  # [T, 1, half]
-    sin = jnp.sin(angles)[:, None, :]
+    angles = positions.astype(jnp.float32)[:, None] * inv_freq[None, :]
+    return jnp.cos(angles)[:, None, :], jnp.sin(angles)[:, None, :]
+
+
+def apply_rope(q, k, cos, sin):
+    """q: [T, Hq, D], k: [T, Hk, D]; cos/sin: [T, 1, D//2] from
+    rope_cos_sin. Applied in fp32 (matching the reference's upcast)."""
+    half = q.shape[-1] // 2
 
     def rot(x):
         xf = x.astype(jnp.float32)

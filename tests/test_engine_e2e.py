@@ -161,3 +161,19 @@ def test_int8_kv_cache_e2e_close_to_fp32():
     matches = sum(a == b for a, b in zip(base[0]["token_ids"],
                                          quant[0]["token_ids"]))
     assert matches >= 6, (base[0]["token_ids"], quant[0]["token_ids"])
+
+def test_pallas_prefix_cache_reuse_matches_ref():
+    """Cached-prefix prefill through the Pallas ragged kernel (q tiles start
+    at pos0 = cached length; the kernel reads prefix pages it did not write
+    this step) must match the ref backend and the uncached first pass."""
+    prefix = list(range(1, 33))  # two full 16-token pages
+    prompts = [prefix + [50, 51]]
+    sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+    ref_llm = make_llm()
+    pal_llm = make_llm(attn_backend="pallas")
+    ref1 = ref_llm.generate(prompts, sp, use_tqdm=False)[0]["token_ids"]
+    pal1 = pal_llm.generate(prompts, sp, use_tqdm=False)[0]["token_ids"]
+    hits0 = pal_llm.scheduler.block_manager.cached_token_hits
+    pal2 = pal_llm.generate(prompts, sp, use_tqdm=False)[0]["token_ids"]
+    assert pal_llm.scheduler.block_manager.cached_token_hits > hits0
+    assert ref1 == pal1 == pal2
