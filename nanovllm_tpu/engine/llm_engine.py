@@ -13,6 +13,8 @@ import logging
 import time
 from dataclasses import fields
 
+import jax
+
 from nanovllm_tpu.config import Config
 from nanovllm_tpu.engine.model_runner import ModelRunner
 from nanovllm_tpu.engine.scheduler import Scheduler, StepStats
@@ -84,7 +86,20 @@ class LLMEngine:
 
     def generate(self, prompts, sampling_params=None, use_tqdm: bool = True):
         """prompts: list of strings or token-id lists. Returns a list of
-        {"text", "token_ids"} in submission order."""
+        {"text", "token_ids"} in submission order.
+
+        Set NANOVLLM_PROFILE_DIR to capture a jax.profiler trace of the whole
+        generate (viewable in XProf/TensorBoard) — the step-time breakdown
+        the reference only had as tqdm postfix throughput (SURVEY §5.1)."""
+        import contextlib
+        import os
+        profile_dir = os.environ.get("NANOVLLM_PROFILE_DIR")
+        ctx = (jax.profiler.trace(profile_dir) if profile_dir
+               else contextlib.nullcontext())
+        with ctx:
+            return self._generate(prompts, sampling_params, use_tqdm)
+
+    def _generate(self, prompts, sampling_params, use_tqdm):
         if sampling_params is None:
             sampling_params = SamplingParams()
         if not isinstance(sampling_params, list):

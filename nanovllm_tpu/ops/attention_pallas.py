@@ -394,7 +394,11 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
                            num_slots: int, num_layers: int,
                            pages_per_chunk: int = 0,
                            enable_write: bool = False,
-                           int8_dots: bool = True,
+                           # int8 MXU dots (q + probs absmax-quantized per
+                           # row): measured NO speedup over bf16 dots on v5e
+                           # (the kernel is not MXU-rate-bound), so accuracy
+                           # wins by default; kept for other TPU generations.
+                           int8_dots: bool = False,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized when
     the cache is int8); k_scales/v_scales: f32[S, Hkv] (dummy [S, 1] when

@@ -25,7 +25,8 @@ def make_cache(key, num_layers, hkv, num_pages, page_size, d):
 
 
 def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
-               slot_mapping, *, scale, page_size, num_slots, num_layers):
+               slot_mapping, *, scale, page_size, num_slots, num_layers,
+               int8_dots=False):
     """Mirror of pallas_attention's decode prep: build the new-row operands
     and invoke the kernel (interpret mode)."""
     t, hkv, d = k_new.shape
@@ -41,7 +42,8 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
         q, k_rows, v_rows, k_scales, v_scales, cache["data"],
         cache["scales"], layer_i, context_lens, block_tables, slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=num_layers, enable_write=True, interpret=True)
+        num_layers=num_layers, enable_write=True, int8_dots=int8_dots,
+        interpret=True)
     return out, {"data": data, "scales": scales}
 
 
@@ -312,3 +314,11 @@ def test_int8_kv_quantized_decode_close_to_fp32():
     err = np.abs(outs[jnp.int8] - outs[jnp.float32]).max()
     assert err < 0.05, f"int8 KV error too large: {err}"
     assert not np.allclose(outs[jnp.int8], 0)
+    # The optional int8-MXU-dot path (q + probs quantized per row) must stay
+    # within slightly looser quantization noise.
+    out8, _ = run_decode(
+        q, k_new, k_new, caches[jnp.int8], 0, context_lens, tables,
+        step_slots, scale=d ** -0.5, page_size=page_size,
+        num_slots=num_slots, num_layers=1, int8_dots=True)
+    err8 = np.abs(np.asarray(out8) - outs[jnp.float32]).max()
+    assert err8 < 0.1, f"int8-dot error too large: {err8}"
