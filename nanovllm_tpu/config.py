@@ -78,6 +78,17 @@ class ModelConfig:
 
 ATTN_BACKENDS = ("pallas", "ref")
 
+# Reference backend names accepted as aliases (nanovllm/config.py:25-28
+# validated {flash, sdpa, sdpa.math, triton}): the fast paged backends map to
+# the Pallas kernels, the deliberately-slow SDPA baseline to the XLA
+# reference backend.
+ATTN_BACKEND_ALIASES = {
+    "flash": "pallas",
+    "triton": "pallas",
+    "sdpa": "ref",
+    "sdpa.math": "ref",
+}
+
 
 @dataclass
 class Config:
@@ -131,8 +142,12 @@ class Config:
     model_config: ModelConfig | None = None
 
     def __post_init__(self):
+        self.attn_backend = ATTN_BACKEND_ALIASES.get(
+            self.attn_backend, self.attn_backend)
         assert self.attn_backend in ATTN_BACKENDS, (
-            f"attn_backend must be one of {ATTN_BACKENDS}, got {self.attn_backend!r}"
+            f"attn_backend must be one of {ATTN_BACKENDS} "
+            f"(or a reference alias {sorted(ATTN_BACKEND_ALIASES)}), "
+            f"got {self.attn_backend!r}"
         )
         assert self.kvcache_block_size % 16 == 0, (
             "kvcache_block_size must be a multiple of 16 (TPU bf16 sublane tile)"
