@@ -1,20 +1,25 @@
-"""Decode step bisect: full vs no-KV-write vs no-attention."""
-import logging, sys, time
+"""Bisect the prefill step on real TPU: full vs no-attention vs no-write (usage: python tools/bisect_prefill.py [full|noattn|nowrite])."""
+import logging
+import sys
+import time
+
 logging.basicConfig(level=logging.INFO)
+import jax
 import numpy as np
+
 from bench import QWEN3_0_6B
 from nanovllm_tpu.config import Config
+from nanovllm_tpu.engine.batch import build_prefill_meta
 from nanovllm_tpu.engine.model_runner import ModelRunner
-from nanovllm_tpu.engine.block_manager import BlockManager
-from nanovllm_tpu.engine.sequence import Sequence
-from nanovllm_tpu.sampling_params import SamplingParams
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+
 cfg = Config(model="", model_config=QWEN3_0_6B, max_model_len=2048,
              max_num_batched_tokens=8192, attn_backend="pallas",
              load_format="random", decode_steps=32, kv_cache_dtype="int8",
              max_num_seqs=64, kvcache_block_size=128)
 runner = ModelRunner(cfg)
+
 if mode == "noattn":
     def fake_attn_fn(is_prefill, qmax, pk):
         def attn(q, k, v, cache, layer_i, meta):
@@ -23,24 +28,26 @@ if mode == "noattn":
     runner._attn_fn = fake_attn_fn
 elif mode == "nowrite":
     import nanovllm_tpu.ops.attention_pallas as ap
+    real = ap.write_kv
     ap.write_kv = lambda cache, *a, **k: cache
 print("mode:", mode)
 
+from nanovllm_tpu.engine.block_manager import BlockManager
+from nanovllm_tpu.engine.sequence import Sequence
+from nanovllm_tpu.sampling_params import SamplingParams
+
 bm = BlockManager(cfg.num_kvcache_blocks, cfg.kvcache_block_size)
 rng = np.random.default_rng(0)
-seqs = [Sequence(rng.integers(0, 151936, 1536).tolist(),
-                 SamplingParams(max_tokens=400, ignore_eos=True),
-                 block_size=cfg.kvcache_block_size) for _ in range(64)]
+seqs = [Sequence(rng.integers(0, 151936, 1024).tolist(),
+                 SamplingParams(max_tokens=4, ignore_eos=True),
+                 block_size=cfg.kvcache_block_size) for _ in range(8)]
 for s in seqs:
     bm.allocate(s)
-    s.append_token(7)
-    bm.commit_token(s)
-    bm.reserve(s, 32)
-toks = runner.run(seqs, is_prefill=False, num_steps=32)  # compile
+
+toks = runner.run(seqs, is_prefill=True)  # compile + warmup
 best = float("inf")
 for _ in range(5):
     t0 = time.perf_counter()
-    runner.run(seqs, is_prefill=False, num_steps=32)
+    runner.run(seqs, is_prefill=True)
     best = min(best, time.perf_counter() - t0)
-print(f"decode dispatch ({mode}): {best*1e3:.1f} ms "
-      f"({best/32*1e3:.2f} ms/step, {64*32/best:.0f} tok/s)")
+print(f"prefill step ({mode}): {best*1e3:.1f} ms  ({8192/best:.0f} tok/s)")
