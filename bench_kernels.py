@@ -47,8 +47,6 @@ def timeit_chained(fn, q, *args, iters=20, **kw):
 
 
 def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16):
-    from nanovllm_tpu.ops.kv_cache import quantize_rows
-
     pps = -(-ctx // page_size)
     num_pages = bs * pps + 1
     num_slots = num_pages * page_size
@@ -67,7 +65,7 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
         np.asarray(tables)[:, last // page_size] * page_size
         + last % page_size)
     zero_rows = jnp.zeros((bs, hkv * d), dtype)
-    one_scales = jnp.ones((bs, hkv if dtype == jnp.int8 else 1), jnp.float32)
+    one_scales = jnp.ones((bs, 1), jnp.float32)
     sentinel = jnp.full((bs,), num_slots, jnp.int32)
     interp = jax.devices()[0].platform == "cpu"
 
@@ -89,7 +87,7 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
                           qq[:, :hkv, :], qq[:, :hkv, :], step_slots,
                           num_slots, 1, page_size)
             o, data, scales = paged_decode_attention(
-                qq, zero_rows, zero_rows, one_scales, one_scales,
+                qq, zero_rows, zero_rows, one_scales,
                 cc["data"], cc["scales"], 0, ctxs, tables, sentinel,
                 scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
                 num_layers=1, interpret=interp)
@@ -127,12 +125,16 @@ def bench_prefill(t, hq=16, hkv=8, d=128, page_size=128, q_tile=128,
     tile_pos0 = jnp.arange(nt, dtype=jnp.int32) * q_tile
     interp = jax.devices()[0].platform == "cpu"
 
+    from nanovllm_tpu.ops.kv_cache import SCALE_DTYPE, SCALE_LANES
+    k_rows = jnp.zeros((t, hkv * d), dtype)
+    kv_scales = (jnp.ones((t, SCALE_LANES), SCALE_DTYPE)
+                 if dtype == jnp.int8 else jnp.ones((1, 1), SCALE_DTYPE))
     dt = timeit_chained(
         lambda qq: ragged_prefill_attention(
-            qq, cache["data"], cache["scales"], 0, tile_seq, tile_pos0,
-            ctxs, tables, scale=d ** -0.5, page_size=page_size,
-            num_slots=num_slots, num_layers=1, q_tile=q_tile,
-            interpret=interp),
+            qq, k_rows, k_rows, kv_scales, cache["data"], cache["scales"],
+            0, tile_seq, tile_pos0, ctxs, tables, scale=d ** -0.5,
+            page_size=page_size, num_slots=num_slots, num_layers=1,
+            q_tile=q_tile, interpret=interp)[0],
         q, iters=5)
     flops = 2 * 2 * hq * d * t * t / 2  # causal QK^T + PV
     return dt, flops / dt / 1e12

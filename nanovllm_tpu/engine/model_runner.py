@@ -118,8 +118,11 @@ class ModelRunner:
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         per_slot = mc.num_key_value_heads * mc.head_dim * itemsize
         if self.kv_dtype == jnp.int8:
+            # One bf16 [SCALE_LANES]-lane scale row per slot shared between
+            # K and V (ops/kv_cache.py); the enclosing formula multiplies by
+            # 2 for the K+V data rows, so halve here.
             from nanovllm_tpu.ops.kv_cache import SCALE_LANES
-            per_slot += SCALE_LANES * 2 * self._scale_shards()
+            per_slot += SCALE_LANES * self._scale_shards()
         return (mc.num_hidden_layers * 2
                 * self.config.kvcache_block_size * per_slot)
 

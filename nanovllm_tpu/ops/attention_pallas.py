@@ -36,7 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, SCALE_LANES,
-                                        quantize_rows, write_kv)
+                                        quantize_kv_rows, write_kv)
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -46,8 +46,9 @@ def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, li,
     """Per-chunk page-copy descriptors (shared by both kernels): a page's
     ENTIRE K+V is one contiguous [2*page_size, Hkv*D] run (V rows follow the
     K rows — see ops/kv_cache.py), so each page costs ONE data DMA plus one
-    [2*page_size, SCALE_LANES] scale-row DMA when INT8. `si` is per call so
-    a grid step can prefetch the NEXT sequence's first chunk."""
+    [page_size, SCALE_LANES] scale-row DMA when INT8 (K and V scales share a
+    row: lanes [0, Hkv) and [Hkv, 2*Hkv)). `si` is per call so a grid step
+    can prefetch the NEXT sequence's first chunk."""
     rows = 2 * page_size
 
     def chunk_copies(si, chunk_idx, slot):
@@ -60,7 +61,10 @@ def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, li,
                 data_ref.at[src], kv_buf.at[slot, dst], sems.at[slot]))
             if quantized:
                 copies.append(pltpu.make_async_copy(
-                    scales_ref.at[src], s_buf.at[slot, dst], sems.at[slot]))
+                    scales_ref.at[pl.ds((li * num_pages + page) * page_size,
+                                        page_size)],
+                    s_buf.at[slot, pl.ds(i * page_size, page_size)],
+                    sems.at[slot]))
         return copies
 
     return chunk_copies
@@ -68,45 +72,51 @@ def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, li,
 
 def _page_slices(kv_slot, s_slot, ppc, ps, quantized):
     """Static per-page K/V (and scale) views of a chunk buffer: page i's K
-    rows sit at [i*2*ps, i*2*ps+ps), its V rows right after."""
+    rows sit at [i*2*ps, i*2*ps+ps), its V rows right after. The scale rows
+    are shared (one row per token; K lanes then V lanes), so ks == vs —
+    sel_k/sel_v pick the lane halves."""
     k_pages = [kv_slot[i * 2 * ps:i * 2 * ps + ps] for i in range(ppc)]
     v_pages = [kv_slot[i * 2 * ps + ps:(i + 1) * 2 * ps] for i in range(ppc)]
     if quantized:
-        ks_pages = [s_slot[i * 2 * ps:i * 2 * ps + ps] for i in range(ppc)]
-        vs_pages = [s_slot[i * 2 * ps + ps:(i + 1) * 2 * ps]
-                    for i in range(ppc)]
+        ks_pages = [s_slot[i * ps:(i + 1) * ps] for i in range(ppc)]
+        vs_pages = ks_pages
     else:
         ks_pages = vs_pages = [None] * ppc
     return k_pages, v_pages, ks_pages, vs_pages
 
 
-def _decode_chunk_update(carry, q_bd, sel, kv_slot, s_slot, mask, scale, ppc,
-                         ps, quantized, dot_dtype, q_scale=None):
+def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
+                         scale, ppc, ps, quantized, dot_dtype):
     """One online-softmax update over a KV chunk for decode, all heads in one
-    MXU dot per page. q_bd: [Hq, Hkv*D] block-diagonal (row i nonzero only in its
-    kv-head's lane block) so a single contraction over Hkv*D computes every
-    head's scores at once. INT8 per-row scales are never multiplied into the
-    K/V streams: they fold into scores (K) and probs (V) through `sel`
-    ([Hq, SCALE_LANES], sel[i, h] = 1 iff h == i // g), a tiny MXU dot whose
-    contraction has exactly one nonzero term — exact. carry: (m [Hq,1],
-    l [Hq,1], acc [Hq, Hkv*D] full-width; per-head lanes extracted once at
-    the end). Dots run in `dot_dtype` (bf16 on the production path — int8→
-    bf16 casts are exact; f32 only when both q and the cache are f32) with
-    f32 accumulation."""
+    MXU dot per page. q_bd: [Hq, Hkv*D] block-diagonal (row i nonzero only in
+    its kv-head's lane block) so a single contraction over Hkv*D computes
+    every head's scores at once — PREBUILT outside the kernel by
+    _build_q_blockdiag (the in-kernel iota/where construction was ~5 us of
+    per-sequence prologue, the measured fixed cost of the whole kernel).
+    INT8 per-row scales are never multiplied into the K/V streams: they fold
+    into scores (K) and probs (V) through sel_k/sel_v ([Hq, SCALE_LANES],
+    row i nonzero only at lane i // g), tiny MXU dots whose contraction has
+    exactly one nonzero term — exact. On the int8-dots path sel_k's nonzeros
+    carry the per-row Q quantization scale x the softmax scale (the path is
+    already lossy); on the bf16 path both selectors are exact 1.0 indicators
+    and the f32 softmax scale multiplies s directly.
+    carry: (m [Hq,1], l [Hq,1], acc [Hq, Hkv*D] full-width; per-head lanes
+    extracted once at the end). Dots run in `dot_dtype` (bf16 on the
+    production path — int8→bf16 casts are exact; f32 only when both q and
+    the cache are f32) with f32 accumulation."""
     m, l, acc = carry
     int8_dots = q_bd.dtype == jnp.int8
     k_pages, v_pages, ks_pages, vs_pages = _page_slices(
         kv_slot, s_slot, ppc, ps, quantized)
     if int8_dots:
-        # q_bd is per-row absmax-quantized int8 (q_scale carries its scale ×
+        # q_bd is per-row absmax-quantized int8 (sel_k carries its scale ×
         # the softmax scale): the dots run on the MXU's int8 path (2× the
         # bf16 rate on v5e) and the int32 result is rescaled exactly.
         s_parts = [lax.dot_general(
             q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.int32) for kp in k_pages]
         s = (s_parts[0] if ppc == 1
-             else jnp.concatenate(s_parts, axis=1)
-             ).astype(jnp.float32) * q_scale              # [Hq, chunk]
+             else jnp.concatenate(s_parts, axis=1)).astype(jnp.float32)
     else:
         s_parts = [lax.dot_general(
             q_bd, kp.astype(dot_dtype),
@@ -116,7 +126,7 @@ def _decode_chunk_update(carry, q_bd, sel, kv_slot, s_slot, mask, scale, ppc,
              else jnp.concatenate(s_parts, axis=1)) * scale
     if quantized:
         sc_parts = [lax.dot_general(
-            sel, ksp, dimension_numbers=(((1,), (1,)), ((), ())),
+            sel_k, ksp, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) for ksp in ks_pages]
         s = s * (sc_parts[0] if ppc == 1
                  else jnp.concatenate(sc_parts, axis=1))
@@ -128,7 +138,7 @@ def _decode_chunk_update(carry, q_bd, sel, kv_slot, s_slot, mask, scale, ppc,
     l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
     if quantized:
         vc_parts = [lax.dot_general(
-            sel, vsp, dimension_numbers=(((1,), (1,)), ((), ())),
+            sel_v, vsp, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) for vsp in vs_pages]
         p = p * (vc_parts[0] if ppc == 1
                  else jnp.concatenate(vc_parts, axis=1))
@@ -167,16 +177,19 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, hkv,
         m, l, acc = carry[h]
         hs = slice(h * d, (h + 1) * d)
 
-        def dequant(pages, s_pages):
+        def dequant(pages, s_pages, lane0):
+            # Scale rows are shared between K and V: K scale of head h at
+            # lane h, V scale at lane hkv + h.
             cols = []
             for i in range(ppc):
                 x = pages[i][:, hs]
                 if quantized:
                     x = (x.astype(jnp.float32)
-                         * s_pages[i][:, h:h + 1].astype(jnp.float32))
+                         * s_pages[i][:, lane0 + h:lane0 + h + 1]
+                         .astype(jnp.float32))
                 cols.append(x.astype(dot_dtype))
             return cols
-        k_cols = dequant(k_pages, ks_pages)
+        k_cols = dequant(k_pages, ks_pages, 0)
         s_parts = [lax.dot_general(
             q_heads[h], kc, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) for kc in k_cols]
@@ -188,7 +201,7 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, hkv,
         alpha = jnp.exp(m - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        v_cols = dequant(v_pages, vs_pages)
+        v_cols = dequant(v_pages, vs_pages, hkv)
         o_curr = sum(lax.dot_general(
             p[:, i * ps:(i + 1) * ps].astype(dot_dtype), v_cols[i],
             dimension_numbers=(((1,), (0,)), ((), ())),
@@ -204,23 +217,32 @@ def _decode_kernel(
     bt_ref,         # i32[S, pages_per_seq]
     slot_ref,       # i32[S]  (num_slots for pad seqs)
     # inputs
-    q_ref,          # [1, Hq, D] VMEM block for this seq
+    q_ref,          # [1, Hq, Hkv*D] VMEM block: PREBUILT block-diagonal q
+    #                 (row i nonzero only in head i//g's lane block), bf16 or
+    #                 int8 (int8_dots)
     kr_ref,         # HBM [S, Hkv*D] new K rows (quantized when int8);
     #                 row si is DMA'd straight HBM->HBM into the cache
     #                 (a (1, Hkv*D) VMEM block would violate the (8, 128)
     #                 block-tiling rule on real TPUs)
     vr_ref,         # HBM [S, Hkv*D]
-    ksc_ref,        # HBM f32[S, Hkv] (dummy [S, 1] when not quantized)
-    vsc_ref,        # HBM f32[S, Hkv]
+    sc_ref,         # HBM bf16[S, SCALE_LANES] combined K+V scale rows
+    #                 (dummy [S, 1] when not quantized)
     data_in_ref,    # HBM (aliased with data_out)
     scales_in_ref,  # HBM (aliased with scales_out)
+    selk_ref,       # [1|S, Hq, SCALE_LANES] bf16 selector: 1.0 at lane
+    #                 i//g of row i (per-row q-quant scale x softmax scale
+    #                 there when int8_dots); dummy [1, 1, 1] in ANY when not
+    #                 quantized
+    selv_ref,       # [1, Hq, SCALE_LANES] bf16 indicator selector at lane
+    #                 Hkv + i//g (dummy)
     # outputs
     o_ref,          # [1, Hq, D]
     data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D] (the cache; aliased)
-    scales_ref,     # HBM [rows, SCALE_LANES] bf16
+    scales_ref,     # HBM [L*num_pages*page_size, SCALE_LANES] bf16
     # scratch
     kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
-    s_buf,          # VMEM [2, ppc*2*page_size, SCALE_LANES] bf16 (lane h = head h)
+    s_buf,          # VMEM [2, ppc*page_size, SCALE_LANES] bf16 (K scale of
+    #                 head h at lane h, V at lane Hkv+h)
     sems,           # DMA sems [2]
     wsem,           # DMA sem for the row writes
     gctr,           # SMEM i32[1]: global chunk counter (persists across grid)
@@ -235,7 +257,6 @@ def _decode_kernel(
     quantized: bool,
     enable_write: bool,
     dot_dtype,
-    int8_dots: bool,
 ):
     del data_in_ref, scales_in_ref
     si = pl.program_id(0)
@@ -256,12 +277,11 @@ def _decode_kernel(
                                     data_ref.at[pl.ds(base + page_size, 1)],
                                     wsem)]
         if quantized:
+            sbase = ((li * num_pages + slot // page_size) * page_size
+                     + lax.rem(slot, page_size))
             cs.append(pltpu.make_async_copy(
-                ksc_ref.at[pl.ds(si, 1)],
-                scales_ref.at[pl.ds(base, 1)], wsem))
-            cs.append(pltpu.make_async_copy(
-                vsc_ref.at[pl.ds(si, 1)],
-                scales_ref.at[pl.ds(base + page_size, 1)], wsem))
+                sc_ref.at[pl.ds(si, 1)],
+                scales_ref.at[pl.ds(sbase, 1)], wsem))
         return cs
 
     valid_write = (slot < num_slots) if enable_write else False
@@ -306,34 +326,16 @@ def _decode_kernel(
                 c.start()
 
     hq = hkv * g
-    # Block-diagonal Q: row i nonzero only in lanes of its kv head (i // g),
-    # so one contraction over Hkv*D computes every head's scores at once.
-    lane = lax.broadcasted_iota(jnp.int32, (hq, hkv * d), 1)
-    head = lax.broadcasted_iota(jnp.int32, (hq, hkv * d), 0) // g
-    blockdiag = lane // d == head
-    q_scale = None
-    if quantized and int8_dots:
-        # Per-row absmax int8 quantization of Q: the dots then run on the
-        # MXU's 2x-rate int8 path against the raw int8 KV stream; zeros
-        # outside the diagonal blocks stay exactly zero.
-        qf = q_ref[0].astype(jnp.float32)             # [Hq, D]
-        qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
-        qs = jnp.maximum(qmax, 1e-20) / 127.0         # [Hq, 1]
-        q_i8 = jnp.round(qf / qs).astype(jnp.int8)
-        q_bd = jnp.where(blockdiag, jnp.tile(q_i8, (1, hkv)),
-                         jnp.zeros((), jnp.int8))
-        q_scale = qs * scale
-    else:
-        q = q_ref[0].astype(dot_dtype)                # [Hq, D]
-        q_bd = jnp.where(blockdiag, jnp.tile(q, (1, hkv)),
-                         jnp.zeros((), dot_dtype))
-    # Per-row scale selector: one 1 per row at its kv head's scale lane.
-    sel = None
+    # Block-diagonal Q and the scale selectors are prebuilt outside the
+    # kernel (see _build_q_blockdiag / _build_selectors): the in-kernel
+    # iota + where + tile construction was ~5 us of per-sequence prologue —
+    # with a 64-seq grid that fixed cost (~320 us) dominated the whole
+    # kernel.
+    q_bd = q_ref[0]                                   # [Hq, Hkv*D]
+    sel_k = sel_v = None
     if quantized:
-        sl = s_buf.shape[-1]
-        sel = (lax.broadcasted_iota(jnp.int32, (hq, sl), 1)
-               == lax.broadcasted_iota(jnp.int32, (hq, sl), 0) // g
-               ).astype(SCALE_DTYPE)
+        sel_k = selk_ref[0]                           # [Hq, SCALE_LANES]
+        sel_v = selv_ref[0]
 
     def body(ci, carry):
         if enable_write:
@@ -365,9 +367,9 @@ def _decode_kernel(
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
         mask = pos < ctx
         carry = _decode_chunk_update(
-            carry, q_bd, sel, kv_buf[slot_buf],
+            carry, q_bd, sel_k, sel_v, kv_buf[slot_buf],
             s_buf[slot_buf] if quantized else None, mask, scale, ppc,
-            page_size, quantized, dot_dtype, q_scale)
+            page_size, quantized, dot_dtype)
         if not enable_write:
             gctr[0] = gi + 1
         return carry
@@ -388,7 +390,7 @@ def _decode_kernel(
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
                      "pages_per_chunk", "enable_write", "int8_dots",
                      "interpret"))
-def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
+def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            scales, layer_i, context_lens, block_tables,
                            slot_mapping, *, scale: float, page_size: int,
                            num_slots: int, num_layers: int,
@@ -401,11 +403,12 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
                            int8_dots: bool = False,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized when
-    the cache is int8); k_scales/v_scales: f32[S, Hkv] (dummy [S, 1] when
-    not); data: [L*2*num_slots, Hkv*D]; scales: f32[rows, Hkv] | f32[1, 1];
-    layer_i: i32 scalar; context_lens: i32[S]; block_tables:
-    i32[S, pages_per_seq]; slot_mapping: i32[S]. Returns
-    (out [S, Hq, D], data, scales) — cache arrays aliased in place."""
+    the cache is int8); kv_scales: bf16[S, SCALE_LANES] combined K+V scale
+    rows (dummy [S, 1] when not); data: [L*2*num_slots, Hkv*D]; scales:
+    bf16[L*num_slots, SCALE_LANES] | f32[1, 1]; layer_i: i32 scalar;
+    context_lens: i32[S]; block_tables: i32[S, pages_per_seq]; slot_mapping:
+    i32[S]. Returns (out [S, Hq, D], data, scales) — cache arrays aliased in
+    place."""
     s, hq, d = q.shape
     hkv = k_rows.shape[1] // d
     g = hq // hkv
@@ -424,22 +427,63 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
     dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
                                  and data.dtype == jnp.float32)
                  else jnp.bfloat16)
+    int8_dots = int8_dots and quantized
+
+    # Prebuild the block-diagonal Q (and scale selectors) in XLA: one fused
+    # elementwise kernel over the whole batch, instead of ~5 us of iota/
+    # where/tile prologue per sequence inside the kernel grid.
+    lane = lax.broadcasted_iota(jnp.int32, (hq, hkv * d), 1)
+    head = lax.broadcasted_iota(jnp.int32, (hq, hkv * d), 0) // g
+    blockdiag = (lane // d == head)[None]             # [1, Hq, Hkv*D]
+    if int8_dots:
+        qf = q.astype(jnp.float32)                    # [S, Hq, D]
+        qmax = jnp.max(jnp.abs(qf), axis=-1, keepdims=True)
+        qs = jnp.maximum(qmax, 1e-20) / 127.0         # [S, Hq, 1]
+        q_i8 = jnp.round(qf / qs).astype(jnp.int8)
+        q_bd = jnp.where(blockdiag, jnp.tile(q_i8, (1, 1, hkv)),
+                         jnp.zeros((), jnp.int8))
+    else:
+        q_bd = jnp.where(blockdiag,
+                         jnp.tile(q.astype(dot_dtype), (1, 1, hkv)),
+                         jnp.zeros((), dot_dtype))
+    if quantized:
+        sel_lanes = scales.shape[1]
+        lane_i = lax.broadcasted_iota(jnp.int32, (hq, sel_lanes), 1)
+        row_h = lax.broadcasted_iota(jnp.int32, (hq, sel_lanes), 0) // g
+        ind_k = lane_i == row_h               # K scale of head h at lane h
+        ind_v = lane_i == hkv + row_h         # V scale at lane Hkv + h
+        sel_v = ind_v.astype(SCALE_DTYPE)[None]       # [1, Hq, SL]
+        if int8_dots:
+            sel_k = jnp.where(ind_k[None], (qs * scale).astype(SCALE_DTYPE),
+                              jnp.zeros((), SCALE_DTYPE))  # [S, Hq, SL]
+            selk_spec = pl.BlockSpec((1, hq, sel_lanes),
+                                     lambda si, *_: (si, 0, 0))
+        else:
+            sel_k = ind_k.astype(SCALE_DTYPE)[None]
+            selk_spec = pl.BlockSpec((1, hq, sel_lanes),
+                                     lambda si, *_: (0, 0, 0))
+        selv_spec = pl.BlockSpec((1, hq, sel_lanes),
+                                 lambda si, *_: (0, 0, 0))
+    else:
+        sel_k = sel_v = jnp.zeros((1, 1, 1), SCALE_DTYPE)
+        selk_spec = selv_spec = pl.BlockSpec(memory_space=pl.ANY)
+
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
         hkv=hkv, g=g, d=d, num_slots=num_slots, quantized=quantized,
-        enable_write=enable_write, dot_dtype=dot_dtype,
-        int8_dots=int8_dots and quantized)
+        enable_write=enable_write, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(s,),
         in_specs=[
-            pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
+            pl.BlockSpec((1, hq, hkv * d), lambda si, *_: (si, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            selk_spec,
+            selv_spec,
         ],
         out_specs=[
             pl.BlockSpec((1, hq, d), lambda si, *_: (si, 0, 0)),
@@ -448,7 +492,7 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, 2 * chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((1,), jnp.int32),
@@ -464,13 +508,13 @@ def paged_decode_attention(q, k_rows, v_rows, k_scales, v_scales, data,
         ],
         grid_spec=grid_spec,
         # Operand numbering includes the 4 scalar-prefetch args: data is
-        # operand 9 -> output 1, scales operand 10 -> output 2.
-        input_output_aliases={9: 1, 10: 2},
+        # operand 8 -> output 1, scales operand 9 -> output 2.
+        input_output_aliases={8: 1, 9: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(layer_arr, context_lens, block_tables, slot_mapping,
-      q, k_rows, v_rows, k_scales, v_scales, data, scales)
+      q_bd, k_rows, v_rows, kv_scales, data, scales, sel_k, sel_v)
     return out, data, scales
 
 
@@ -486,17 +530,18 @@ def _prefill_kernel(
     #                 to satisfy the TPU (8,128) block-tiling constraint)
     kr_ref,         # HBM [T, Hkv*D] new K rows (cache dtype) for write-through
     vr_ref,         # HBM [T, Hkv*D]
-    ksc_ref,        # HBM [T, SCALE_LANES] bf16 (dummy [1, 1] when not int8)
-    vsc_ref,        # HBM [T, SCALE_LANES]
+    sc_ref,         # HBM [T, SCALE_LANES] bf16 combined K+V scale rows
+    #                 (dummy [1, 1] when not int8)
     data_in_ref,    # HBM (aliased with data_ref)
     scales_in_ref,  # HBM (aliased with scales_ref)
     # outputs
     o_ref,          # [TQ, Hq, D]
     data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D] (the cache; aliased)
-    scales_ref,     # HBM [rows, SCALE_LANES] bf16 (dummy when not quantized)
+    scales_ref,     # HBM [L*num_pages*page_size, SCALE_LANES] bf16 (dummy
+    #                 when not quantized)
     # scratch
     kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
-    s_buf,          # VMEM [2, ppc*2*page_size, SCALE_LANES] bf16
+    s_buf,          # VMEM [2, ppc*page_size, SCALE_LANES] bf16
     sems,           # DMA sems [2]
     wsem,           # DMA sem for the tile's row writes
     *,
@@ -551,11 +596,9 @@ def _prefill_kernel(
             cs.append((valid, pltpu.make_async_copy(
                 vr_ref.at[src], data_ref.at[pl.ds(base + ps, wr)], wsem)))
             if quantized:
+                sbase = (li * num_pages + page) * ps + off
                 cs.append((valid, pltpu.make_async_copy(
-                    ksc_ref.at[src], scales_ref.at[pl.ds(base, wr)], wsem)))
-                cs.append((valid, pltpu.make_async_copy(
-                    vsc_ref.at[src],
-                    scales_ref.at[pl.ds(base + ps, wr)], wsem)))
+                    sc_ref.at[src], scales_ref.at[pl.ds(sbase, wr)], wsem)))
         return cs
 
     for valid, c in write_copies():
@@ -625,7 +668,7 @@ def _prefill_kernel(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
                      "q_tile", "pages_per_chunk", "interpret"))
-def ragged_prefill_attention(q, k_rows, v_rows, k_scales, v_scales, data,
+def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
                              scales, layer_i, tile_seq, tile_pos0,
                              context_lens, block_tables, *, scale: float,
                              page_size: int, num_slots: int, num_layers: int,
@@ -635,8 +678,9 @@ def ragged_prefill_attention(q, k_rows, v_rows, k_scales, v_scales, data,
     included — the reference's flash_attn_varlen_func with block_table,
     attention.py:93-96, and the Triton prefill kernel capability,
     attention_triton.py:101-183), with write-through: each tile writes its
-    own K/V rows (k_rows/v_rows [T, Hkv*D], int8-quantized + scale rows when
-    the cache is int8) into its pages before reading them back.
+    own K/V rows (k_rows/v_rows [T, Hkv*D], int8-quantized + combined
+    kv_scales rows when the cache is int8) into its pages before reading
+    them back.
 
     q: [T, Hq, D] flat tokens, each sequence's segment aligned to q_tile;
     tile_seq/tile_pos0: i32[T // q_tile]. Returns (out [T, Hq, D], data,
@@ -676,7 +720,6 @@ def ragged_prefill_attention(q, k_rows, v_rows, k_scales, v_scales, data,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
             pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
@@ -685,7 +728,7 @@ def ragged_prefill_attention(q, k_rows, v_rows, k_scales, v_scales, data,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, 2 * chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -700,13 +743,13 @@ def ragged_prefill_attention(q, k_rows, v_rows, k_scales, v_scales, data,
         ],
         grid_spec=grid_spec,
         # Operand numbering includes the 5 scalar-prefetch args: data is
-        # operand 10 -> output 1, scales operand 11 -> output 2.
-        input_output_aliases={10: 1, 11: 2},
+        # operand 9 -> output 1, scales operand 10 -> output 2.
+        input_output_aliases={9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables,
-      q, k_rows, v_rows, k_scales, v_scales, data, scales)
+      q, k_rows, v_rows, kv_scales, data, scales)
     return out, data, scales
 
 
@@ -727,15 +770,13 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
     t, hkv, d = k.shape
     if is_prefill:
         if cache["data"].dtype == jnp.int8:
-            k_rows, k_scales = quantize_rows(k)
-            v_rows, v_scales = quantize_rows(v)
+            k_rows, v_rows, kv_scales = quantize_kv_rows(k, v)
         else:
             k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
             v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
-            k_scales = jnp.ones((1, 1), SCALE_DTYPE)
-            v_scales = k_scales
+            kv_scales = jnp.ones((1, 1), SCALE_DTYPE)
         out, data, scales = ragged_prefill_attention(
-            q, k_rows, v_rows, k_scales, v_scales, cache["data"],
+            q, k_rows, v_rows, kv_scales, cache["data"],
             cache["scales"], layer_i, meta.tile_seq, meta.tile_pos0,
             meta.context_lens, meta.block_tables, scale=scale,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
@@ -743,17 +784,15 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
         return out, {"data": data, "scales": scales}
     if in_kernel_write:
         if cache["data"].dtype == jnp.int8:
-            k_rows, k_scales = quantize_rows(k)
-            v_rows, v_scales = quantize_rows(v)
+            k_rows, v_rows, kv_scales = quantize_kv_rows(k, v)
         else:
             k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
             v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
-            k_scales = jnp.ones((t, 1), jnp.float32)
-            v_scales = k_scales
+            kv_scales = jnp.ones((t, 1), jnp.float32)
         slot_mapping = meta.slot_mapping
         data, scales = cache["data"], cache["scales"]
         out, data, scales = paged_decode_attention(
-            q, k_rows, v_rows, k_scales, v_scales, data, scales, layer_i,
+            q, k_rows, v_rows, kv_scales, data, scales, layer_i,
             meta.context_lens, meta.block_tables, slot_mapping, scale=scale,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
             enable_write=True, interpret=interpret)
@@ -763,11 +802,10 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
     data, scales = cache["data"], cache["scales"]
     k_rows = jnp.zeros((t, hkv * d), data.dtype)
     v_rows = k_rows
-    k_scales = jnp.ones((t, 1), jnp.float32)
-    v_scales = k_scales
+    kv_scales = jnp.ones((t, 1), jnp.float32)
     slot_mapping = jnp.full((t,), num_slots, jnp.int32)  # no kernel write
     out, data, scales = paged_decode_attention(
-        q, k_rows, v_rows, k_scales, v_scales, data, scales, layer_i,
+        q, k_rows, v_rows, kv_scales, data, scales, layer_i,
         meta.context_lens, meta.block_tables, slot_mapping, scale=scale,
         page_size=page_size, num_slots=num_slots, num_layers=num_layers,
         interpret=interpret)

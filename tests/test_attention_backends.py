@@ -15,7 +15,7 @@ import pytest
 from nanovllm_tpu.ops.attention_pallas import (
     paged_decode_attention, ragged_prefill_attention)
 from nanovllm_tpu.ops.kv_cache import (
-    create_kv_cache, gather_pages, kv_rows, quantize_rows, write_kv)
+    create_kv_cache, gather_pages, kv_rows, quantize_kv_rows, write_kv)
 
 
 def make_cache(key, num_layers, hkv, num_pages, page_size, d):
@@ -31,15 +31,13 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
     and invoke the kernel (interpret mode)."""
     t, hkv, d = k_new.shape
     if cache["data"].dtype == jnp.int8:
-        k_rows, k_scales = quantize_rows(k_new)
-        v_rows, v_scales = quantize_rows(v_new)
+        k_rows, v_rows, kv_scales = quantize_kv_rows(k_new, v_new)
     else:
         k_rows = k_new.reshape(t, hkv * d).astype(cache["data"].dtype)
         v_rows = v_new.reshape(t, hkv * d).astype(cache["data"].dtype)
-        k_scales = jnp.ones((t, 1), jnp.float32)
-        v_scales = k_scales
+        kv_scales = jnp.ones((t, 1), jnp.float32)
     out, data, scales = paged_decode_attention(
-        q, k_rows, v_rows, k_scales, v_scales, cache["data"],
+        q, k_rows, v_rows, kv_scales, cache["data"],
         cache["scales"], layer_i, context_lens, block_tables, slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
         num_layers=num_layers, enable_write=True, int8_dots=int8_dots,
@@ -220,7 +218,7 @@ def test_ragged_prefill_matches_dense():
                                         num_pages_total))]
     dummy = jnp.ones((1, 1), jnp.bfloat16)
     out, _, _ = ragged_prefill_attention(
-        q, jnp.asarray(k_rows), jnp.asarray(v_rows), dummy, dummy,
+        q, jnp.asarray(k_rows), jnp.asarray(v_rows), dummy,
         cache["data"], cache["scales"], layer_i, tile_seq, tile_pos0,
         context_lens, block_tables, scale=scale, page_size=page_size,
         num_slots=num_slots, num_layers=2, q_tile=q_tile, interpret=True)

@@ -1,6 +1,7 @@
 """Bisect the decode dispatch on real TPU: full vs no-KV-write vs no-attention (usage: python tools/bisect_decode.py [full|nowrite|noattn])."""
-import logging, sys, time
+import logging, os, sys, time
 logging.basicConfig(level=logging.INFO)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 from bench import QWEN3_0_6B
 from nanovllm_tpu.config import Config
