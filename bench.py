@@ -44,7 +44,9 @@ def main():
     p.add_argument("--kv-cache-dtype", default="int8",
                    choices=["auto", "bfloat16", "int8"])
     p.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
-    p.add_argument("--decode-steps", type=int, default=32)
+    # 64 fused steps halve per-dispatch overhead vs 32 (the scheduler's pow2
+    # clamp keeps the tail dispatch in the same jit bucket).
+    p.add_argument("--decode-steps", type=int, default=64)
     p.add_argument("--max-model-len", type=int, default=None)
     args = p.parse_args()
 
