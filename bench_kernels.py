@@ -64,9 +64,7 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
     step_slots = jnp.asarray(
         np.asarray(tables)[:, last // page_size] * page_size
         + last % page_size)
-    zero_rows = jnp.zeros((bs, hkv * d), dtype)
-    one_scales = jnp.ones((bs, 1), jnp.float32)
-    sentinel = jnp.full((bs,), num_slots, jnp.int32)
+    zero_rows = jnp.zeros((1, hkv * d), dtype)
     interp = jax.devices()[0].platform == "cpu"
 
     # The kernel aliases the cache in place; donate it and thread it through
@@ -74,6 +72,9 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
     import functools as _ft
 
     from jax import lax
+
+    from nanovllm_tpu.ops.kv_cache import (quantize_kv_rows,
+                                           write_quantized_rows)
 
     # Long chain: the axon tunnel's per-dispatch round trip (~30-55 ms) must
     # amortize to noise against the on-device time.
@@ -83,12 +84,22 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
     def chain(x, data, scales):
         def body(c, _):
             qq, data, scales = c
-            cc = write_kv({"data": data, "scales": scales}, 0,
-                          qq[:, :hkv, :], qq[:, :hkv, :], step_slots,
-                          num_slots, 1, page_size)
+            # Mirror the production decode step: XLA data-row scatter + the
+            # kernel merging the scale lane (int8) in place.
+            if dtype == jnp.int8:
+                kq, vq, cols = quantize_kv_rows(qq[:, :hkv, :],
+                                                qq[:, :hkv, :])
+                data = write_quantized_rows(data, 0, kq, vq, step_slots,
+                                            num_slots, page_size)
+            else:
+                cc = write_kv({"data": data, "scales": scales}, 0,
+                              qq[:, :hkv, :], qq[:, :hkv, :], step_slots,
+                              num_slots, 1, page_size)
+                data, scales = cc["data"], cc["scales"]
+                cols = jnp.ones((bs, 1), jnp.float32)
             o, data, scales = paged_decode_attention(
-                qq, zero_rows, zero_rows, one_scales,
-                cc["data"], cc["scales"], 0, ctxs, tables, sentinel,
+                qq, zero_rows, zero_rows, cols,
+                data, scales, 0, ctxs, tables, step_slots,
                 scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
                 num_layers=1, interpret=interp)
             return (o.astype(qq.dtype), data, scales), ()
@@ -125,17 +136,41 @@ def bench_prefill(t, hq=16, hkv=8, d=128, page_size=128, q_tile=128,
     tile_pos0 = jnp.arange(nt, dtype=jnp.int32) * q_tile
     interp = jax.devices()[0].platform == "cpu"
 
-    from nanovllm_tpu.ops.kv_cache import SCALE_DTYPE, SCALE_LANES
+    from nanovllm_tpu.ops.kv_cache import SCALE_DTYPE, scale_rows_per_page
     k_rows = jnp.zeros((t, hkv * d), dtype)
-    kv_scales = (jnp.ones((t, SCALE_LANES), SCALE_DTYPE)
+    rpp = scale_rows_per_page(hkv)
+    kv_scales = (jnp.ones((t // page_size * rpp, page_size), SCALE_DTYPE)
                  if dtype == jnp.int8 else jnp.ones((1, 1), SCALE_DTYPE))
-    dt = timeit_chained(
-        lambda qq: ragged_prefill_attention(
-            qq, k_rows, k_rows, kv_scales, cache["data"], cache["scales"],
-            0, tile_seq, tile_pos0, ctxs, tables, scale=d ** -0.5,
-            page_size=page_size, num_slots=num_slots, num_layers=1,
-            q_tile=q_tile, interpret=interp)[0],
-        q, iters=5)
+
+    # Back-to-back donated dispatches (per-iteration time = slope between
+    # iteration counts): the cache must be DONATED for the aliased
+    # write-through to be real — a chained-scan variant with the cache
+    # captured as a constant measured 30x slower because XLA materializes
+    # a fresh (unaliased) output buffer per iteration.
+    import functools as _ft
+
+    @_ft.partial(jax.jit, donate_argnums=(1, 2))
+    def run(qq, data, scales):
+        return ragged_prefill_attention(
+            qq, k_rows, k_rows, kv_scales, data, scales, 0, tile_seq,
+            tile_pos0, ctxs, tables, scale=d ** -0.5, page_size=page_size,
+            num_slots=num_slots, num_layers=1, q_tile=q_tile,
+            interpret=interp)
+
+    data, scales = cache["data"], cache["scales"]
+    o, data, scales = run(q, data, scales)
+    jax.block_until_ready(o)
+    times = {}
+    for iters in (4, 16):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o, data, scales = run(q, data, scales)
+            jax.block_until_ready(o)
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+    dt = (times[16] - times[4]) / 12  # dispatch-overhead-free slope
     flops = 2 * 2 * hq * d * t * t / 2  # causal QK^T + PV
     return dt, flops / dt / 1e12
 

@@ -115,20 +115,22 @@ class ModelRunner:
     # ------------------------------------------------------------ KV cache
     def _kv_bytes_per_page(self) -> int:
         mc = self.config.model_config
+        ps = self.config.kvcache_block_size
         itemsize = jnp.dtype(self.kv_dtype).itemsize
-        per_slot = mc.num_key_value_heads * mc.head_dim * itemsize
+        per_page = 2 * ps * mc.num_key_value_heads * mc.head_dim * itemsize
         if self.kv_dtype == jnp.int8:
-            # One bf16 [SCALE_LANES]-lane scale row per slot shared between
-            # K and V (ops/kv_cache.py); the enclosing formula multiplies by
-            # 2 for the K+V data rows, so halve here.
-            from nanovllm_tpu.ops.kv_cache import SCALE_LANES
-            per_slot += SCALE_LANES * self._scale_shards()
-        return (mc.num_hidden_layers * 2
-                * self.config.kvcache_block_size * per_slot)
+            # One transposed bf16 [RPP, page_size] scale block per page per
+            # TP shard (ops/kv_cache.py) — 1.6% on top of the int8 payload.
+            from nanovllm_tpu.ops.kv_cache import scale_rows_per_page
+            shards = self._scale_shards()
+            rpp = scale_rows_per_page(mc.num_key_value_heads // shards)
+            per_page += rpp * ps * shards * 2
+        return mc.num_hidden_layers * per_page
 
     def _scale_shards(self) -> int:
-        """INT8 scale rows are one full 128-lane tile PER TP SHARD (see
-        ops/kv_cache.create_kv_cache); only the Pallas backend needs that."""
+        """INT8 scale blocks get one full page_size-lane window PER TP SHARD
+        (see ops/kv_cache.create_kv_cache); only the Pallas backend needs
+        that."""
         if self.kv_dtype != jnp.int8:
             return 1
         return (self.config.tensor_parallel_size

@@ -8,17 +8,26 @@ streaming instead of scalar per-token loads).
 
 The cache is the 2-D row layout of ops/kv_cache.py: one page is ONE
 contiguous [2*page_size, Hkv*D] block carrying every KV head's K rows then V
-rows, so a page costs ONE data DMA (+1 scale-row DMA when INT8) — DMA issue
-rate was the measured decode bottleneck, not HBM bandwidth. Per-head tiles
-are static lane slices (no minor-dim reshapes, no in-VMEM transposes of the
-stream). Decode computes all heads per page in a single MXU dot via a
-block-diagonal Q ([Hq, Hkv*D], row i nonzero only in head i//g's lane
-block); prefill q blocks are large, so per-head dots stay (already
-MXU-sized, no 8x wasted FLOPs).
+rows, so a page costs ONE data DMA (+1 [RPP, page_size] scale-block DMA when
+INT8) — DMA issue rate was the measured decode bottleneck, not HBM
+bandwidth. Per-head tiles are static lane slices (no minor-dim reshapes, no
+in-VMEM transposes of the stream). Decode computes all heads per page in a
+single MXU dot via a block-diagonal Q ([Hq, Hkv*D], row i nonzero only in
+head i//g's lane block); prefill q blocks are large, so per-head dots stay
+(already MXU-sized, no 8x wasted FLOPs).
 
-Decode-step KV writes are XLA row scatters on this layout (a handful of
-[T, Hkv*D] rows — cheap, unlike the old head-major layout's 1024 tiny rows
-at 165 us/layer/step). The kernel can also write the rows itself
+INT8 scales live in TRANSPOSED per-page blocks (tokens along lanes, K rows
+then V rows — ops/kv_cache.py): reads fold them into scores/probs with tiny
+[Hq, RPP] selector dots (decode) or [1, chunk] broadcast rows (prefill);
+writes are whole-block DMAs. A decode step updates ONE LANE of its page's
+block, which XLA cannot scatter in place — the decode kernel merges the
+lane into its streamed VMEM copy of the block (jnp.where on the lane iota)
+and DMAs the merged block back, with the write-back waited lazily via an
+SMEM counter chain so its latency hides behind the next sequence's compute.
+
+Decode-step KV data writes are XLA row scatters on this layout (a handful
+of [T, Hkv*D] rows — cheap, unlike the old head-major layout's 1024 tiny
+rows at 165 us/layer/step). The kernel can also write the rows itself
 (enable_write=True: in-kernel DMA on the aliased cache, waited before the
 last chunk's reads), but real TPUs reject the 1-row HBM slice (Mosaic DMA
 slices must be sublane-tile aligned), so that path is interpret/testing-only
@@ -35,20 +44,20 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, SCALE_LANES,
-                                        quantize_kv_rows, write_kv)
+from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, quantize_kv_blocks,
+                                        quantize_kv_rows,
+                                        scale_rows_per_page, write_kv)
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, li,
+def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, rpp, li,
                      num_pages, kv_buf, s_buf, sems, quantized):
     """Per-chunk page-copy descriptors (shared by both kernels): a page's
     ENTIRE K+V is one contiguous [2*page_size, Hkv*D] run (V rows follow the
     K rows — see ops/kv_cache.py), so each page costs ONE data DMA plus one
-    [page_size, SCALE_LANES] scale-row DMA when INT8 (K and V scales share a
-    row: lanes [0, Hkv) and [Hkv, 2*Hkv)). `si` is per call so a grid step
-    can prefetch the NEXT sequence's first chunk."""
+    [rpp, page_size] transposed scale-block DMA when INT8. `si` is per call
+    so a grid step can prefetch the NEXT sequence's first chunk."""
     rows = 2 * page_size
 
     def chunk_copies(si, chunk_idx, slot):
@@ -61,53 +70,52 @@ def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, li,
                 data_ref.at[src], kv_buf.at[slot, dst], sems.at[slot]))
             if quantized:
                 copies.append(pltpu.make_async_copy(
-                    scales_ref.at[pl.ds((li * num_pages + page) * page_size,
-                                        page_size)],
-                    s_buf.at[slot, pl.ds(i * page_size, page_size)],
+                    scales_ref.at[pl.ds((li * num_pages + page) * rpp, rpp)],
+                    s_buf.at[slot, pl.ds(i * rpp, rpp)],
                     sems.at[slot]))
         return copies
 
     return chunk_copies
 
 
-def _page_slices(kv_slot, s_slot, ppc, ps, quantized):
-    """Static per-page K/V (and scale) views of a chunk buffer: page i's K
-    rows sit at [i*2*ps, i*2*ps+ps), its V rows right after. The scale rows
-    are shared (one row per token; K lanes then V lanes), so ks == vs —
-    sel_k/sel_v pick the lane halves."""
+def _page_slices(kv_slot, s_slot, ppc, ps, rpp, quantized):
+    """Static per-page K/V (and scale-block) views of a chunk buffer: page
+    i's K rows sit at [i*2*ps, i*2*ps+ps), its V rows right after; its
+    transposed scale block at s_slot[i*rpp:(i+1)*rpp] (row h = K scales of
+    head h across the page's tokens, row Hkv+h = V scales)."""
     k_pages = [kv_slot[i * 2 * ps:i * 2 * ps + ps] for i in range(ppc)]
     v_pages = [kv_slot[i * 2 * ps + ps:(i + 1) * 2 * ps] for i in range(ppc)]
     if quantized:
-        ks_pages = [s_slot[i * ps:(i + 1) * ps] for i in range(ppc)]
-        vs_pages = ks_pages
+        s_pages = [s_slot[i * rpp:(i + 1) * rpp] for i in range(ppc)]
     else:
-        ks_pages = vs_pages = [None] * ppc
-    return k_pages, v_pages, ks_pages, vs_pages
+        s_pages = [None] * ppc
+    return k_pages, v_pages, s_pages
 
 
 def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
-                         scale, ppc, ps, quantized, dot_dtype):
+                         scale, ppc, ps, rpp, quantized, dot_dtype):
     """One online-softmax update over a KV chunk for decode, all heads in one
     MXU dot per page. q_bd: [Hq, Hkv*D] block-diagonal (row i nonzero only in
     its kv-head's lane block) so a single contraction over Hkv*D computes
-    every head's scores at once — PREBUILT outside the kernel by
-    _build_q_blockdiag (the in-kernel iota/where construction was ~5 us of
-    per-sequence prologue, the measured fixed cost of the whole kernel).
-    INT8 per-row scales are never multiplied into the K/V streams: they fold
-    into scores (K) and probs (V) through sel_k/sel_v ([Hq, SCALE_LANES],
-    row i nonzero only at lane i // g), tiny MXU dots whose contraction has
+    every head's scores at once — PREBUILT outside the kernel by the wrapper
+    (the in-kernel iota/where construction was ~5 us of per-sequence
+    prologue, the measured fixed cost of the whole kernel).
+    INT8 per-token scales are never multiplied into the K/V streams: they
+    fold into scores (K) and probs (V) through sel_k/sel_v ([Hq, RPP], row i
+    nonzero only at block-row i // g resp. Hkv + i // g), tiny MXU dots
+    against the transposed [RPP, ps] scale blocks whose contraction has
     exactly one nonzero term — exact. On the int8-dots path sel_k's nonzeros
     carry the per-row Q quantization scale x the softmax scale (the path is
     already lossy); on the bf16 path both selectors are exact 1.0 indicators
     and the f32 softmax scale multiplies s directly.
     carry: (m [Hq,1], l [Hq,1], acc [Hq, Hkv*D] full-width; per-head lanes
     extracted once at the end). Dots run in `dot_dtype` (bf16 on the
-    production path — int8→bf16 casts are exact; f32 only when both q and
-    the cache are f32) with f32 accumulation."""
+    production path — int8→bf16 casts are exact, f32 accumulation; f32 only
+    when both q and the cache are f32)."""
     m, l, acc = carry
     int8_dots = q_bd.dtype == jnp.int8
-    k_pages, v_pages, ks_pages, vs_pages = _page_slices(
-        kv_slot, s_slot, ppc, ps, quantized)
+    k_pages, v_pages, s_pages = _page_slices(
+        kv_slot, s_slot, ppc, ps, rpp, quantized)
     if int8_dots:
         # q_bd is per-row absmax-quantized int8 (sel_k carries its scale ×
         # the softmax scale): the dots run on the MXU's int8 path (2× the
@@ -126,8 +134,8 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
              else jnp.concatenate(s_parts, axis=1)) * scale
     if quantized:
         sc_parts = [lax.dot_general(
-            sel_k, ksp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) for ksp in ks_pages]
+            sel_k, sp, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) for sp in s_pages]
         s = s * (sc_parts[0] if ppc == 1
                  else jnp.concatenate(sc_parts, axis=1))
     s = jnp.where(mask, s, MASK_VALUE)
@@ -138,8 +146,8 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
     if quantized:
         vc_parts = [lax.dot_general(
-            sel_v, vsp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) for vsp in vs_pages]
+            sel_v, sp, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) for sp in s_pages]
         p = p * (vc_parts[0] if ppc == 1
                  else jnp.concatenate(vc_parts, axis=1))
     if int8_dots:
@@ -162,48 +170,47 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     return (m_next, l_next, acc * alpha + o)
 
 
-def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, hkv,
-                       d, quantized, dot_dtype, scale):
+def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
+                       hkv, d, quantized, dot_dtype, scale):
     """One online-softmax update over a KV chunk, per-head statically
     unrolled (prefill: q blocks are large, so per-head dots are already
     MXU-sized). carry: tuple over heads of (m, l, acc); q_heads: per-head
     [rows, d] in dot_dtype (unscaled — scale applies to scores in f32);
     kv_slot/s_slot: page-interleaved chunk buffers (see _page_slices);
-    mask: [rows, chunk] bool."""
-    k_pages, v_pages, ks_pages, vs_pages = _page_slices(
-        kv_slot, s_slot, ppc, ps, quantized)
+    mask: [rows, chunk] bool. INT8 scales fold into scores/probs as
+    [1, chunk] broadcast rows sliced from the transposed scale blocks
+    (token-major lanes) — cheaper than dequantizing the K/V tiles."""
+    k_pages, v_pages, s_pages = _page_slices(
+        kv_slot, s_slot, ppc, ps, rpp, quantized)
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
         hs = slice(h * d, (h + 1) * d)
-
-        def dequant(pages, s_pages, lane0):
-            # Scale rows are shared between K and V: K scale of head h at
-            # lane h, V scale at lane hkv + h.
-            cols = []
-            for i in range(ppc):
-                x = pages[i][:, hs]
-                if quantized:
-                    x = (x.astype(jnp.float32)
-                         * s_pages[i][:, lane0 + h:lane0 + h + 1]
-                         .astype(jnp.float32))
-                cols.append(x.astype(dot_dtype))
-            return cols
-        k_cols = dequant(k_pages, ks_pages, 0)
         s_parts = [lax.dot_general(
-            q_heads[h], kc, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) for kc in k_cols]
+            q_heads[h], kp[:, hs].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) for kp in k_pages]
         s = (s_parts[0] if ppc == 1
              else jnp.concatenate(s_parts, axis=1)) * scale  # [rows, chunk]
+        if quantized:
+            krow = jnp.concatenate(
+                [sp[h:h + 1, :] for sp in s_pages],
+                axis=1).astype(jnp.float32)                  # [1, chunk]
+            s = s * krow
         s = jnp.where(mask, s, MASK_VALUE)
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_next)
         p = jnp.exp(s - m_next)
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
-        v_cols = dequant(v_pages, vs_pages, hkv)
+        if quantized:
+            vrow = jnp.concatenate(
+                [sp[hkv + h:hkv + h + 1, :] for sp in s_pages],
+                axis=1).astype(jnp.float32)
+            p = p * vrow
         o_curr = sum(lax.dot_general(
-            p[:, i * ps:(i + 1) * ps].astype(dot_dtype), v_cols[i],
+            p[:, i * ps:(i + 1) * ps].astype(dot_dtype),
+            v_pages[i][:, hs].astype(dot_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32) for i in range(ppc))
         out.append((m_next, l_next, acc * alpha + o_curr))
@@ -221,35 +228,40 @@ def _decode_kernel(
     #                 (row i nonzero only in head i//g's lane block), bf16 or
     #                 int8 (int8_dots)
     kr_ref,         # HBM [S, Hkv*D] new K rows (quantized when int8);
-    #                 row si is DMA'd straight HBM->HBM into the cache
-    #                 (a (1, Hkv*D) VMEM block would violate the (8, 128)
-    #                 block-tiling rule on real TPUs)
+    #                 used only by the enable_write testing path
     vr_ref,         # HBM [S, Hkv*D]
-    sc_ref,         # HBM bf16[S, SCALE_LANES] combined K+V scale rows
-    #                 (dummy [S, 1] when not quantized)
+    scol_ref,       # [1, RPP, ps] VMEM block: the seq's new-token scale
+    #                 column broadcast across lanes (row r = scale for
+    #                 block-row r, rows >= 2*Hkv hold 1.0); the kernel
+    #                 merges lane slot%ps of it into the page's streamed
+    #                 scale block. Dummy [1, 1, 1] in ANY when not quantized.
     data_in_ref,    # HBM (aliased with data_out)
     scales_in_ref,  # HBM (aliased with scales_out)
-    selk_ref,       # [1|S, Hq, SCALE_LANES] bf16 selector: 1.0 at lane
-    #                 i//g of row i (per-row q-quant scale x softmax scale
-    #                 there when int8_dots); dummy [1, 1, 1] in ANY when not
+    selk_ref,       # [1|S, Hq, RPP] bf16 selector: 1.0 at block-row i//g of
+    #                 row i (per-row q-quant scale x softmax scale there
+    #                 when int8_dots); dummy [1, 1, 1] in ANY when not
     #                 quantized
-    selv_ref,       # [1, Hq, SCALE_LANES] bf16 indicator selector at lane
+    selv_ref,       # [1, Hq, RPP] bf16 indicator selector at block-row
     #                 Hkv + i//g (dummy)
     # outputs
     o_ref,          # [1, Hq, D]
     data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D] (the cache; aliased)
-    scales_ref,     # HBM [L*num_pages*page_size, SCALE_LANES] bf16
+    scales_ref,     # HBM [(L*num_pages+1)*RPP, ps] bf16 (aliased; final RPP
+    #                 rows = pad-seq write-back dump block)
     # scratch
     kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
-    s_buf,          # VMEM [2, ppc*page_size, SCALE_LANES] bf16 (K scale of
-    #                 head h at lane h, V at lane Hkv+h)
+    s_buf,          # VMEM [2, ppc*RPP, ps] bf16 transposed scale blocks
+    wb_buf,         # VMEM [RPP, ps] bf16: merged block staged for write-back
     sems,           # DMA sems [2]
-    wsem,           # DMA sem for the row writes
-    gctr,           # SMEM i32[1]: global chunk counter (persists across grid)
+    wsem,           # DMA sem for the (testing-only) row writes
+    wbsem,          # DMA sem for scale-block write-backs
+    gctr,           # SMEM i32[2]: [0] global chunk counter (persists across
+    #                 the grid), [1] write-back-outstanding flag
     *,
     scale: float,
     page_size: int,
     ppc: int,
+    rpp: int,
     hkv: int,
     g: int,
     d: int,
@@ -266,23 +278,16 @@ def _decode_kernel(
     chunk = ppc * page_size
     n_chunks = lax.div(ctx + chunk - 1, chunk)
     num_pages = num_slots // page_size
+    ps = page_size
 
     def write_copies():
-        base = ((li * num_pages + slot // page_size) * 2 * page_size
-                + lax.rem(slot, page_size))
-        cs = [pltpu.make_async_copy(kr_ref.at[pl.ds(si, 1)],
-                                    data_ref.at[pl.ds(base, 1)],
-                                    wsem),
-              pltpu.make_async_copy(vr_ref.at[pl.ds(si, 1)],
-                                    data_ref.at[pl.ds(base + page_size, 1)],
-                                    wsem)]
-        if quantized:
-            sbase = ((li * num_pages + slot // page_size) * page_size
-                     + lax.rem(slot, page_size))
-            cs.append(pltpu.make_async_copy(
-                sc_ref.at[pl.ds(si, 1)],
-                scales_ref.at[pl.ds(sbase, 1)], wsem))
-        return cs
+        base = ((li * num_pages + slot // ps) * 2 * ps + lax.rem(slot, ps))
+        return [pltpu.make_async_copy(kr_ref.at[pl.ds(si, 1)],
+                                      data_ref.at[pl.ds(base, 1)],
+                                      wsem),
+                pltpu.make_async_copy(vr_ref.at[pl.ds(si, 1)],
+                                      data_ref.at[pl.ds(base + ps, 1)],
+                                      wsem)]
 
     valid_write = (slot < num_slots) if enable_write else False
 
@@ -293,8 +298,8 @@ def _decode_kernel(
                 c.start()
 
     chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
-                                    page_size, li, num_pages, kv_buf, s_buf,
-                                    sems, quantized)
+                                    page_size, rpp, li, num_pages, kv_buf,
+                                    s_buf, sems, quantized)
     s_total = ctx_ref.shape[0]
 
     if enable_write:
@@ -309,16 +314,24 @@ def _decode_kernel(
             for c in chunk_copies(si, chunk_idx, slot_buf):
                 c.start()
 
+        @pl.when(si == 0)
+        def _():
+            gctr[1] = 0
+
         @pl.when(n_chunks > 0)
         def _():
             start_chunk(0, 0)
     else:
-        # Cross-sequence pipelining: a persistent SMEM counter `gctr` tracks
-        # the global chunk index (chunks laid out seq-major in grid order);
+        # Cross-sequence pipelining: a persistent SMEM counter tracks the
+        # global chunk index (chunks laid out seq-major in grid order);
         # buffer slot = global index % 2. While computing its last chunk, a
         # sequence prefetches the NEXT sequence's first chunk, so per-seq
         # DMA latency is hidden (pad seqs have ctx 0 and sit at the END of
         # the batch — build_decode_meta's contract).
+        @pl.when(si == 0)
+        def _():
+            gctr[1] = 0
+
         @pl.when((si == 0) & (n_chunks > 0))
         def _():
             gctr[0] = 0
@@ -327,15 +340,42 @@ def _decode_kernel(
 
     hq = hkv * g
     # Block-diagonal Q and the scale selectors are prebuilt outside the
-    # kernel (see _build_q_blockdiag / _build_selectors): the in-kernel
-    # iota + where + tile construction was ~5 us of per-sequence prologue —
-    # with a 64-seq grid that fixed cost (~320 us) dominated the whole
-    # kernel.
+    # kernel: the in-kernel iota + where + tile construction was ~5 us of
+    # per-sequence prologue — with a 64-seq grid that fixed cost (~320 us)
+    # dominated the whole kernel.
     q_bd = q_ref[0]                                   # [Hq, Hkv*D]
     sel_k = sel_v = None
     if quantized:
-        sel_k = selk_ref[0]                           # [Hq, SCALE_LANES]
+        sel_k = selk_ref[0]                           # [Hq, RPP]
         sel_v = selv_ref[0]
+        # The new token's scale lane: merged into its page's streamed block
+        # when the chunk holding position ctx-1 is processed, then the
+        # merged block is DMA'd back (the in-place lane update XLA cannot
+        # express as a row scatter).
+        lpos = ctx - 1
+        merge_valid = (slot < num_slots) & (ctx > 0)
+        ltc = jnp.where(merge_valid, lax.div(lpos, chunk), -1)
+        pic = lax.rem(lax.div(jnp.maximum(lpos, 0), ps), ppc)
+        off = lax.rem(jnp.maximum(lpos, 0), ps)
+
+    def merge_scale_lane(slot_buf):
+        blk = s_buf[slot_buf, pl.ds(pic * rpp, rpp), :]    # [RPP, ps]
+        lane = lax.broadcasted_iota(jnp.int32, (rpp, ps), 1)
+        merged = jnp.where(lane == off, scol_ref[0], blk)
+        s_buf[slot_buf, pl.ds(pic * rpp, rpp), :] = merged
+        # Deferred-wait write-back chain: wait the PREVIOUS sequence's
+        # write-back (it read from wb_buf) only now, so its DMA latency
+        # hid behind a whole sequence of compute; the last outstanding one
+        # is drained at the final grid step below.
+        @pl.when(gctr[1] == 1)
+        def _():
+            pltpu.make_async_copy(
+                wb_buf, scales_ref.at[pl.ds(0, rpp)], wbsem).wait()
+        wb_buf[...] = merged
+        dst = (li * num_pages + lax.div(slot, ps)) * rpp
+        pltpu.make_async_copy(
+            wb_buf, scales_ref.at[pl.ds(dst, rpp)], wbsem).start()
+        gctr[1] = 1
 
     def body(ci, carry):
         if enable_write:
@@ -364,12 +404,16 @@ def _decode_kernel(
 
         for c in chunk_copies(si, ci, slot_buf):
             c.wait()
+        if quantized:
+            @pl.when(ci == ltc)
+            def _():
+                merge_scale_lane(slot_buf)
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
         mask = pos < ctx
         carry = _decode_chunk_update(
             carry, q_bd, sel_k, sel_v, kv_buf[slot_buf],
             s_buf[slot_buf] if quantized else None, mask, scale, ppc,
-            page_size, quantized, dot_dtype)
+            page_size, rpp, quantized, dot_dtype)
         if not enable_write:
             gctr[0] = gi + 1
         return carry
@@ -378,6 +422,13 @@ def _decode_kernel(
             jnp.zeros((hq, 1), jnp.float32),
             jnp.zeros((hq, hkv * d), jnp.float32))
     m, l, acc = lax.fori_loop(0, n_chunks, body, init)
+
+    if quantized:
+        @pl.when((si == s_total - 1) & (gctr[1] == 1))
+        def _():
+            pltpu.make_async_copy(
+                wb_buf, scales_ref.at[pl.ds(0, rpp)], wbsem).wait()
+            gctr[1] = 0
 
     out = acc / jnp.where(l == 0.0, 1.0, l)            # [Hq, Hkv*D]
     for h in range(hkv):
@@ -403,16 +454,21 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            int8_dots: bool = False,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized when
-    the cache is int8); kv_scales: bf16[S, SCALE_LANES] combined K+V scale
-    rows (dummy [S, 1] when not); data: [L*2*num_slots, Hkv*D]; scales:
-    bf16[L*num_slots, SCALE_LANES] | f32[1, 1]; layer_i: i32 scalar;
-    context_lens: i32[S]; block_tables: i32[S, pages_per_seq]; slot_mapping:
-    i32[S]. Returns (out [S, Hq, D], data, scales) — cache arrays aliased in
-    place."""
+    the cache is int8; used only by the enable_write testing path — the
+    production path scatters them via write_kv before the kernel);
+    kv_scales: [S, 2*Hkv] new-token scale columns (K then V; see
+    quantize_kv_rows) or a [S, 1] dummy when not quantized — the kernel
+    merges each seq's column into its page's transposed scale block in
+    place; data: [L*2*num_slots, Hkv*D]; scales: bf16[(L*num_pages+1)*RPP,
+    ps] | f32[1, 1]; layer_i: i32 scalar; context_lens: i32[S];
+    block_tables: i32[S, pages_per_seq]; slot_mapping: i32[S] (the new
+    token's slot; num_slots for pads/no-write). Returns (out [S, Hq, D],
+    data, scales) — cache arrays aliased in place."""
     s, hq, d = q.shape
     hkv = k_rows.shape[1] // d
     g = hq // hkv
     quantized = data.dtype == jnp.int8
+    rpp = scale_rows_per_page(hkv)
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
         pages_per_chunk = max(1, 256 // page_size)
@@ -420,6 +476,7 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     while pages_per_seq % ppc:
         ppc -= 1
     chunk = ppc * page_size
+    ps = page_size
 
     # Production inputs are bf16/int8: run the MXU dots in bf16 (int8→bf16
     # casts are exact, f32 accumulation). Keep f32 dots only when both q and
@@ -447,29 +504,36 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                          jnp.tile(q.astype(dot_dtype), (1, 1, hkv)),
                          jnp.zeros((), dot_dtype))
     if quantized:
-        sel_lanes = scales.shape[1]
-        lane_i = lax.broadcasted_iota(jnp.int32, (hq, sel_lanes), 1)
-        row_h = lax.broadcasted_iota(jnp.int32, (hq, sel_lanes), 0) // g
-        ind_k = lane_i == row_h               # K scale of head h at lane h
-        ind_v = lane_i == hkv + row_h         # V scale at lane Hkv + h
-        sel_v = ind_v.astype(SCALE_DTYPE)[None]       # [1, Hq, SL]
+        # New-token scale columns -> [S, RPP, ps] lane-broadcast blocks for
+        # the in-kernel merge (rows >= 2*Hkv are 1.0, matching the array's
+        # init so pad rows stay neutral).
+        cols = jnp.ones((s, rpp), SCALE_DTYPE)
+        cols = cols.at[:, :2 * hkv].set(kv_scales.astype(SCALE_DTYPE))
+        scol = jnp.broadcast_to(cols[:, :, None], (s, rpp, ps))
+        scol_spec = pl.BlockSpec((1, rpp, ps), lambda si, *_: (si, 0, 0))
+        lane_i = lax.broadcasted_iota(jnp.int32, (hq, rpp), 1)
+        row_h = lax.broadcasted_iota(jnp.int32, (hq, rpp), 0) // g
+        ind_k = lane_i == row_h            # K scales at block-row h
+        ind_v = lane_i == hkv + row_h      # V scales at block-row Hkv + h
+        sel_v = ind_v.astype(SCALE_DTYPE)[None]       # [1, Hq, RPP]
         if int8_dots:
             sel_k = jnp.where(ind_k[None], (qs * scale).astype(SCALE_DTYPE),
-                              jnp.zeros((), SCALE_DTYPE))  # [S, Hq, SL]
-            selk_spec = pl.BlockSpec((1, hq, sel_lanes),
+                              jnp.zeros((), SCALE_DTYPE))  # [S, Hq, RPP]
+            selk_spec = pl.BlockSpec((1, hq, rpp),
                                      lambda si, *_: (si, 0, 0))
         else:
             sel_k = ind_k.astype(SCALE_DTYPE)[None]
-            selk_spec = pl.BlockSpec((1, hq, sel_lanes),
+            selk_spec = pl.BlockSpec((1, hq, rpp),
                                      lambda si, *_: (0, 0, 0))
-        selv_spec = pl.BlockSpec((1, hq, sel_lanes),
+        selv_spec = pl.BlockSpec((1, hq, rpp),
                                  lambda si, *_: (0, 0, 0))
     else:
+        scol = jnp.zeros((1, 1, 1), SCALE_DTYPE)
         sel_k = sel_v = jnp.zeros((1, 1, 1), SCALE_DTYPE)
-        selk_spec = selv_spec = pl.BlockSpec(memory_space=pl.ANY)
+        scol_spec = selk_spec = selv_spec = pl.BlockSpec(memory_space=pl.ANY)
 
     kernel = functools.partial(
-        _decode_kernel, scale=scale, page_size=page_size, ppc=ppc,
+        _decode_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
         hkv=hkv, g=g, d=d, num_slots=num_slots, quantized=quantized,
         enable_write=enable_write, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -479,7 +543,7 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec((1, hq, hkv * d), lambda si, *_: (si, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            scol_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
             selk_spec,
@@ -492,10 +556,12 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.VMEM((2, ppc * rpp, ps), SCALE_DTYPE),
+            pltpu.VMEM((rpp, ps), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
-            pltpu.SMEM((1,), jnp.int32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SMEM((2,), jnp.int32),
         ],
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
@@ -514,7 +580,7 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(layer_arr, context_lens, block_tables, slot_mapping,
-      q_bd, k_rows, v_rows, kv_scales, data, scales, sel_k, sel_v)
+      q_bd, k_rows, v_rows, scol, data, scales, sel_k, sel_v)
     return out, data, scales
 
 
@@ -530,24 +596,25 @@ def _prefill_kernel(
     #                 to satisfy the TPU (8,128) block-tiling constraint)
     kr_ref,         # HBM [T, Hkv*D] new K rows (cache dtype) for write-through
     vr_ref,         # HBM [T, Hkv*D]
-    sc_ref,         # HBM [T, SCALE_LANES] bf16 combined K+V scale rows
-    #                 (dummy [1, 1] when not int8)
+    sc_ref,         # HBM bf16[NT*npw*RPP, ps] TRANSPOSED per-page scale
+    #                 blocks (quantize_kv_blocks; dummy [1, 1] when not int8)
     data_in_ref,    # HBM (aliased with data_ref)
     scales_in_ref,  # HBM (aliased with scales_ref)
     # outputs
     o_ref,          # [TQ, Hq, D]
     data_ref,       # HBM [L*num_pages*2*page_size, Hkv*D] (the cache; aliased)
-    scales_ref,     # HBM [L*num_pages*page_size, SCALE_LANES] bf16 (dummy
-    #                 when not quantized)
+    scales_ref,     # HBM [(L*num_pages+1)*RPP, ps] bf16 (dummy when not
+    #                 quantized)
     # scratch
     kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
-    s_buf,          # VMEM [2, ppc*page_size, SCALE_LANES] bf16
+    s_buf,          # VMEM [2, ppc*RPP, ps] bf16
     sems,           # DMA sems [2]
     wsem,           # DMA sem for the tile's row writes
     *,
     scale: float,
     page_size: int,
     ppc: int,
+    rpp: int,
     tq: int,
     hkv: int,
     g: int,
@@ -575,7 +642,8 @@ def _prefill_kernel(
     # (measured 93 ms for an 8k-token prefill; these DMAs are ~0.3 ms).
     # Tiles are page-aligned: pos0 % tq == 0 and pages hold ps tokens with
     # tq % ps == 0 or ps % tq == 0, so each covered page gets one contiguous
-    # run of wr rows at a sublane-aligned offset.
+    # run of wr rows at a sublane-aligned offset. INT8 scale blocks are
+    # whole-page [RPP, ps] DMAs (quantized requires tq % ps == 0).
     wr = min(tq, ps)
     npw = max(1, tq // ps)
 
@@ -596,9 +664,10 @@ def _prefill_kernel(
             cs.append((valid, pltpu.make_async_copy(
                 vr_ref.at[src], data_ref.at[pl.ds(base + ps, wr)], wsem)))
             if quantized:
-                sbase = (li * num_pages + page) * ps + off
+                sbase = (li * num_pages + page) * rpp
                 cs.append((valid, pltpu.make_async_copy(
-                    sc_ref.at[src], scales_ref.at[pl.ds(sbase, wr)], wsem)))
+                    sc_ref.at[pl.ds((ti * npw + i) * rpp, rpp)],
+                    scales_ref.at[pl.ds(sbase, rpp)], wsem)))
         return cs
 
     for valid, c in write_copies():
@@ -607,8 +676,8 @@ def _prefill_kernel(
             c.start()
 
     chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
-                                    page_size, li, num_pages, kv_buf, s_buf,
-                                    sems, quantized)
+                                    page_size, rpp, li, num_pages, kv_buf,
+                                    s_buf, sems, quantized)
     first_own_chunk = lax.div(jnp.maximum(pos0, 0), chunk)
 
     def start_chunk(chunk_idx, slot):
@@ -649,7 +718,7 @@ def _prefill_kernel(
         mask = (kv_pos <= q_pos) & (kv_pos < ctx)
         return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
                                   s_buf[slot] if quantized else None, mask,
-                                  ppc, page_size, hkv, d, quantized,
+                                  ppc, page_size, rpp, hkv, d, quantized,
                                   dot_dtype, scale)
 
     init = tuple((jnp.full((rows, 1), MASK_VALUE, jnp.float32),
@@ -678,8 +747,9 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
     included — the reference's flash_attn_varlen_func with block_table,
     attention.py:93-96, and the Triton prefill kernel capability,
     attention_triton.py:101-183), with write-through: each tile writes its
-    own K/V rows (k_rows/v_rows [T, Hkv*D], int8-quantized + combined
-    kv_scales rows when the cache is int8) into its pages before reading
+    own K/V rows (k_rows/v_rows [T, Hkv*D], int8-quantized with transposed
+    per-page scale blocks kv_scales [T // page_size * RPP, page_size] from
+    quantize_kv_blocks when the cache is int8) into its pages before reading
     them back.
 
     q: [T, Hq, D] flat tokens, each sequence's segment aligned to q_tile;
@@ -689,8 +759,13 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
     quantized = data.dtype == jnp.int8
     hkv = data.shape[1] // d
     g = hq // hkv
+    rpp = scale_rows_per_page(hkv)
     nt = t // q_tile
-    assert page_size % q_tile == 0 or q_tile % page_size == 0
+    if quantized:
+        # Scale blocks are whole-page writes: tiles must cover whole pages.
+        assert q_tile % page_size == 0
+    else:
+        assert page_size % q_tile == 0 or q_tile % page_size == 0
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
         pages_per_chunk = max(1, 256 // page_size)
@@ -707,7 +782,7 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         [context_lens, jnp.zeros(1, context_lens.dtype)])
 
     kernel = functools.partial(
-        _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc,
+        _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
         tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots,
         quantized=quantized, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -728,7 +803,7 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         ],
         scratch_shapes=[
             pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, chunk, SCALE_LANES), SCALE_DTYPE),
+            pltpu.VMEM((2, ppc * rpp, page_size), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
@@ -757,20 +832,24 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
                      num_layers, q_tile=128, in_kernel_write: bool = False,
                      interpret: bool = False):
-    """Backend entry. Prefill: XLA row-scatter write-through, then the ragged
-    prefill kernel.
+    """Backend entry. Prefill: the ragged prefill kernel with in-kernel
+    write-through of rows and scale blocks.
 
-    Decode: by default the new K/V rows are written with the same XLA row
-    scatter (on this layout that is a handful of [T, Hkv*D] rows — the
-    embedding-update pattern, in place on the donated cache) and the kernel
-    only reads. With in_kernel_write=True the kernel DMAs the rows itself;
-    real TPUs reject the unaligned 1-row HBM slice (Mosaic tiling requires
-    sublane-aligned DMA slices), so this path is interpret/testing-only until
-    an aligned read-modify-write variant exists."""
+    Decode: the new K/V data rows are written with an XLA row scatter (on
+    this layout that is a handful of [T, Hkv*D] rows — the embedding-update
+    pattern, in place on the donated cache); INT8 scale lanes are merged
+    into their pages' transposed blocks BY THE KERNEL (XLA cannot scatter a
+    lane in place). With in_kernel_write=True the kernel DMAs the data rows
+    itself too; real TPUs reject the unaligned 1-row HBM slice (Mosaic
+    tiling requires sublane-aligned DMA slices), so that path is
+    interpret/testing-only until an aligned read-modify-write variant
+    exists."""
     t, hkv, d = k.shape
+    quantized = cache["data"].dtype == jnp.int8
     if is_prefill:
-        if cache["data"].dtype == jnp.int8:
-            k_rows, v_rows, kv_scales = quantize_kv_rows(k, v)
+        if quantized:
+            k_rows, v_rows, kv_scales = quantize_kv_blocks(
+                k, v, page_size, hkv)
         else:
             k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
             v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
@@ -783,30 +862,34 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
             q_tile=q_tile, interpret=interpret)
         return out, {"data": data, "scales": scales}
     if in_kernel_write:
-        if cache["data"].dtype == jnp.int8:
+        if quantized:
             k_rows, v_rows, kv_scales = quantize_kv_rows(k, v)
         else:
             k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
             v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
             kv_scales = jnp.ones((t, 1), jnp.float32)
-        slot_mapping = meta.slot_mapping
-        data, scales = cache["data"], cache["scales"]
         out, data, scales = paged_decode_attention(
-            q, k_rows, v_rows, kv_scales, data, scales, layer_i,
-            meta.context_lens, meta.block_tables, slot_mapping, scale=scale,
-            page_size=page_size, num_slots=num_slots, num_layers=num_layers,
-            enable_write=True, interpret=interpret)
+            q, k_rows, v_rows, kv_scales, cache["data"], cache["scales"],
+            layer_i, meta.context_lens, meta.block_tables, meta.slot_mapping,
+            scale=scale, page_size=page_size, num_slots=num_slots,
+            num_layers=num_layers, enable_write=True, interpret=interpret)
         return out, {"data": data, "scales": scales}
-    cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
-                     num_layers, page_size)
+    if quantized:
+        from nanovllm_tpu.ops.kv_cache import write_quantized_rows
+        kq, vq, kv_scales = quantize_kv_rows(k, v)
+        cache = dict(cache, data=write_quantized_rows(
+            cache["data"], layer_i, kq, vq, meta.slot_mapping, num_slots,
+            page_size))
+    else:
+        cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
+                         num_layers, page_size)
+        kv_scales = jnp.ones((t, 1), jnp.float32)
     data, scales = cache["data"], cache["scales"]
-    k_rows = jnp.zeros((t, hkv * d), data.dtype)
+    k_rows = jnp.zeros((1, hkv * d), data.dtype)
     v_rows = k_rows
-    kv_scales = jnp.ones((t, 1), jnp.float32)
-    slot_mapping = jnp.full((t,), num_slots, jnp.int32)  # no kernel write
     out, data, scales = paged_decode_attention(
         q, k_rows, v_rows, kv_scales, data, scales, layer_i,
-        meta.context_lens, meta.block_tables, slot_mapping, scale=scale,
+        meta.context_lens, meta.block_tables, meta.slot_mapping, scale=scale,
         page_size=page_size, num_slots=num_slots, num_layers=num_layers,
         interpret=interpret)
     return out, {"data": data, "scales": scales}

@@ -9,33 +9,39 @@ and each page's V rows directly after its K rows:
     data[((layer * num_pages + page) * 2 + kv) * page_size + offset, Hkv * D]
 
 where slot = page_id * page_size + offset. INT8 mode keeps per-(token, head)
-absmax scales in a parallel bf16 array with ONE row per slot (not per K/V
-row) and SCALE_LANES lanes:
+absmax scales in a parallel bf16 array holding one TRANSPOSED block per page
+(tokens along lanes, heads along sublanes):
 
-    scales[(layer * num_pages + page) * page_size + offset, SCALE_LANES]
+    scales[(layer * num_pages + page) * RPP + row, offset]
 
-with the K scale of head h at lane h and the V scale at lane Hkv + h (lanes
->= 2*Hkv unused). Sharing one row between K and V halves the scale-stream
-bytes (the decode kernel is HBM-bandwidth-bound; scale rows are pure
-overhead on top of the int8 payload: 12.5%, vs 25% for the earlier
-row-per-K/V layout). The full-tile lane width is load-bearing: Mosaic only
-DMAs lane windows that cover whole 128-lane tiles, so a dense [rows, 2*Hkv]
-array cannot be streamed page-wise, while a denser packing (tokens x heads
-per row) cannot be dotted against token-major score columns without a
-forbidden minor-dim reshape. bf16 keeps the scale relative error ~0.4% vs
-the ~0.8% int8 quantization error.
+with row h = head h's K scales, row Hkv + h = head h's V scales, and
+RPP = ceil(2*Hkv / 16) * 16 rows per page block (16 = the bf16 sublane
+tile, so every block is tile-aligned). One [RPP, page_size] block costs
+4 KiB vs the 32 KiB of the earlier row-per-slot layout — scale traffic is
+pure overhead on top of the int8 payload and the decode kernel is
+HBM-bandwidth-bound: 1.6% instead of 12.5%. Token-major lanes also make the
+read-side dequant a broadcast/tiny-dot fold instead of per-column
+multiplies. The cost is the write side: a decode step updates ONE LANE of a
+block, which XLA cannot scatter in place — the Pallas decode kernel merges
+the lane into its streamed copy of the block in VMEM and DMAs the block
+back (attention_pallas.py); the XLA fallback (reference backend, tests)
+uses a scalar (row, lane) scatter. One extra dump block sits at the END of
+the array as the write-back target for pad sequences.
 
-Why this exact shape (each point learned on TPU hardware; see git history
-for the earlier head-major and split-K/V layouts and their measured costs):
+bf16 scales keep the relative error ~0.4% vs the ~0.8% int8 quantization
+error.
+
+Why this exact data shape (each point learned on TPU hardware; see git
+history for the earlier head-major and split-K/V layouts and their measured
+costs):
 - A page is ONE contiguous [2 * page_size, Hkv*D] run carrying K then V for
   every head: the Pallas kernels stream a page's ENTIRE KV in a single DMA
-  plus one [page_size, SCALE_LANES] scale copy when INT8 — DMA-issue rate,
+  plus one [RPP, page_size] scale-block copy when INT8 — DMA-issue rate,
   not HBM bandwidth, was the decode kernel's measured bottleneck at every
   step of this evolution.
-- New KV rows are leading-dim row scatters ([T, Hkv*D] and [T, SCALE_LANES]):
-  the one scatter pattern XLA performs in place on a donated buffer with no
-  operand relayout. The old 1-D scales array made XLA spend 94 us/layer
-  scattering 1024 scalars; 2-D rows fix it.
+- New KV rows are leading-dim row scatters ([T, Hkv*D]): the one scatter
+  pattern XLA performs in place on a donated buffer with no operand
+  relayout.
 - Scatters at (layer, :, head, slot) on a >2-D cache trigger an operand
   RELAYOUT copy on TPU; per-layer slicing of a stacked cache materializes a
   full layer copy per step. Both are avoided by the flat 2-D form.
@@ -43,7 +49,8 @@ for the earlier head-major and split-K/V layouts and their measured costs):
   reshape of the minor dim (Mosaic rejects those) and no in-VMEM transposes
   of the streamed data.
 - Tensor parallelism shards the lane dim head-aligned: P(None, "tp") puts
-  Hkv/tp full heads (and their scale lanes) on each device.
+  Hkv/tp full heads (and, for scales, a full page_size-lane block window
+  per shard) on each device.
 """
 
 from __future__ import annotations
@@ -51,26 +58,36 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-SCALE_LANES = 128  # one full TPU lane tile per scale row
 SCALE_DTYPE = jnp.bfloat16
+_SUBLANE = 16  # bf16 sublane tile: scale blocks are padded to this
+
+
+def scale_rows_per_page(num_kv_heads: int) -> int:
+    """Rows of one page's transposed scale block (K rows, V rows, padding up
+    to the bf16 sublane tile so every block DMA is tile-aligned)."""
+    return -(-2 * num_kv_heads // _SUBLANE) * _SUBLANE
 
 
 def create_kv_cache(num_layers: int, num_kv_heads: int, num_pages: int,
                     page_size: int, head_dim: int, dtype,
                     num_shards: int = 1) -> dict:
-    """Returns {"data": [L*2*num_slots, Hkv*D], "scales": bf16[L*num_slots,
-    SCALE_LANES * num_shards] (int8) | f32[1, 1] (dummy otherwise)}.
+    """Returns {"data": [L*2*num_slots, Hkv*D], "scales":
+    bf16[(L*num_pages + 1) * RPP, page_size * num_shards] (int8) |
+    f32[1, 1] (dummy otherwise)}. The final RPP rows are the dump block for
+    pad-sequence write-backs.
 
-    num_shards > 1 gives every tensor-parallel shard its own full 128-lane
-    scale window (shard s owns lanes [s*128, (s+1)*128), local head h's K
-    scale at local lane h, V at local lane Hkv_local + h) — a lane-sharded
-    [rows, 128] array would hand each shard a sub-tile window Mosaic cannot
-    DMA."""
+    num_shards > 1 gives every tensor-parallel shard its own full
+    page_size-lane block window (shard s owns lanes [s*page_size,
+    (s+1)*page_size)), with rows indexed by LOCAL head: a lane-sharded
+    [rows, page_size] array would hand each shard a sub-tile window Mosaic
+    cannot DMA. num_kv_heads is global; rows are sized for the per-shard
+    head count."""
     num_slots = num_pages * page_size
     data = jnp.zeros((num_layers * 2 * num_slots, num_kv_heads * head_dim),
                      dtype=dtype)
-    scales = (jnp.ones((num_layers * num_slots, SCALE_LANES * num_shards),
-                       SCALE_DTYPE)
+    rpp = scale_rows_per_page(num_kv_heads // num_shards)
+    scales = (jnp.ones(((num_layers * num_pages + 1) * rpp,
+                        page_size * num_shards), SCALE_DTYPE)
               if dtype == jnp.int8 else jnp.ones((1, 1), jnp.float32))
     return {"data": data, "scales": scales}
 
@@ -83,21 +100,14 @@ def kv_rows(layer_i, is_v, slots, page_size: int, num_pages: int):
     return ((layer_i * num_pages + page) * 2 + is_v) * page_size + off
 
 
-def scale_rows(layer_i, slots, page_size: int, num_pages: int):
-    """Row indices of (layer, slot) in `scales` (one shared K+V row)."""
-    page = slots // page_size
-    off = slots % page_size
-    return (layer_i * num_pages + page) * page_size + off
-
-
 def kv_page_row(layer_i, page, page_size: int, num_pages: int):
     """First row of a page's 2*page_size-row K+V block in `data`."""
     return (layer_i * num_pages + page) * 2 * page_size
 
 
-def scale_page_row(layer_i, page, page_size: int, num_pages: int):
-    """First row of a page's page_size-row scale block in `scales`."""
-    return (layer_i * num_pages + page) * page_size
+def scale_block_row(layer_i, page, num_pages: int, rpp: int):
+    """First row of a page's [rpp, page_size] scale block in `scales`."""
+    return (layer_i * num_pages + page) * rpp
 
 
 def _absmax_quant(x):
@@ -117,26 +127,72 @@ def quantize_kv_rows(k, v):
     """Per-(token, head) absmax INT8 quantization of a step's K and V.
 
     k, v: [T, Hkv, D] -> (kq [T, Hkv*D] int8, vq [T, Hkv*D] int8,
-    scale_rows [T, SCALE_LANES] bf16 with K scales at lanes [0, Hkv) and V
-    scales at lanes [Hkv, 2*Hkv), 1.0 in unused lanes)."""
-    t, hkv, d = k.shape
+    scale columns [T, 2*Hkv] bf16: K scales at [:, :Hkv], V at [:, Hkv:]).
+    The column form is the decode-kernel input (it merges one token's lane
+    into a page's scale block)."""
     kq, ks = _absmax_quant(k)
     vq, vs = _absmax_quant(v)
-    rows = jnp.ones((t, SCALE_LANES), SCALE_DTYPE)
-    rows = rows.at[:, :hkv].set(ks.astype(SCALE_DTYPE))
-    rows = rows.at[:, hkv:2 * hkv].set(vs.astype(SCALE_DTYPE))
-    return kq, vq, rows
+    cols = jnp.concatenate([ks, vs], axis=1).astype(SCALE_DTYPE)
+    return kq, vq, cols
+
+
+def quantize_kv_blocks(k, v, page_size: int, num_kv_heads: int):
+    """Prefill-shaped quantization: K/V rows plus TRANSPOSED per-page scale
+    blocks ready for whole-block write-through.
+
+    k, v: [T, Hkv, D] with T % page_size == 0 (the prefill layout pads each
+    sequence's segment to the q-tile, and the int8 path requires
+    q_tile % page_size == 0). Returns (kq, vq, blocks
+    [T // page_size * RPP, page_size] bf16): block i rows [0, Hkv) = K
+    scales of tokens [i*ps, (i+1)*ps), rows [Hkv, 2*Hkv) = V scales,
+    padding rows hold 1.0."""
+    t = k.shape[0]
+    assert t % page_size == 0
+    nb = t // page_size
+    rpp = scale_rows_per_page(num_kv_heads)
+    kq, vq, cols = quantize_kv_rows(k, v)               # cols [T, 2*Hkv]
+    blocks = jnp.ones((nb, rpp, page_size), SCALE_DTYPE)
+    per_page = cols.reshape(nb, page_size, 2 * num_kv_heads)
+    blocks = blocks.at[:, : 2 * num_kv_heads, :].set(
+        jnp.swapaxes(per_page, 1, 2))
+    return kq, vq, blocks.reshape(nb * rpp, page_size)
+
+
+def write_quantized_rows(data, layer_i, kq, vq, slot_mapping,
+                         num_slots: int, page_size: int):
+    """Scatter PRE-QUANTIZED int8 K/V rows (from quantize_kv_rows) into the
+    data array — the Pallas decode path's data write (its scale lanes are
+    merged in-kernel, so re-quantizing inside write_kv would be wasted
+    work). kq, vq: [T, Hkv*D] int8."""
+    num_pages = num_slots // page_size
+    valid = slot_mapping < num_slots
+    total = data.shape[0]
+    slots = jnp.minimum(slot_mapping, num_slots - 1)
+    k_rows = jnp.where(valid, kv_rows(layer_i, 0, slots, page_size,
+                                      num_pages), total)
+    v_rows = jnp.where(valid, kv_rows(layer_i, 1, slots, page_size,
+                                      num_pages), total)
+    rows = jnp.concatenate([k_rows, v_rows])
+    return data.at[rows].set(jnp.concatenate([kq, vq]), mode="drop",
+                             unique_indices=True)
 
 
 def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
-             num_layers: int, page_size: int) -> dict:
+             num_layers: int, page_size: int,
+             write_scales: bool = True) -> dict:
     """Scatter new K/V rows for one layer into the paged cache (the XLA
-    write path, used by prefill and the reference backend; the Pallas
-    kernels can also write the rows themselves via in-kernel DMA).
+    write path, used by the reference backend and tests; the Pallas kernels
+    write rows and scale blocks themselves).
 
     cache: see create_kv_cache (donated; leading-dim row scatter is
     in-place). k, v: [T, Hkv, D]; slot_mapping: i32[T] (pad tokens hold
-    num_slots — redirected past the array and dropped).
+    num_slots — redirected past the array and dropped). With
+    write_scales=False only the int8 data rows are written (the Pallas
+    decode kernel merges the scale lane in-kernel).
+
+    INT8 scale writes here are per-(row, lane) SCALAR scatters into the
+    transposed blocks — correct but slow; acceptable because only the
+    dense reference backend and CPU tests take this path.
     """
     data = cache["data"]
     t, hkv, d = k.shape
@@ -150,14 +206,21 @@ def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
                                       num_pages), total)
     rows = jnp.concatenate([k_rows, v_rows])
     if data.dtype == jnp.int8:
-        kq, vq, sc = quantize_kv_rows(k, v)
+        kq, vq, cols = quantize_kv_rows(k, v)
         data = data.at[rows].set(jnp.concatenate([kq, vq]), mode="drop",
                                  unique_indices=True)
-        s_rows = jnp.where(valid, scale_rows(layer_i, slots, page_size,
-                                             num_pages),
-                           cache["scales"].shape[0])
-        scales = cache["scales"].at[s_rows].set(sc, mode="drop",
-                                                unique_indices=True)
+        cols = cols.astype(SCALE_DTYPE)
+        if not write_scales:
+            return {"data": data, "scales": cache["scales"]}
+        scales = cache["scales"]
+        rpp = scale_rows_per_page(hkv)
+        base = scale_block_row(layer_i, slots // page_size, num_pages, rpp)
+        # (row, lane) scalar scatter: rows [T, 2*Hkv], lanes broadcast.
+        srows = base[:, None] + jnp.arange(2 * hkv, dtype=jnp.int32)[None, :]
+        srows = jnp.where(valid[:, None], srows, scales.shape[0])
+        lanes = jnp.broadcast_to((slots % page_size)[:, None], srows.shape)
+        scales = scales.at[srows, lanes].set(cols, mode="drop",
+                                             unique_indices=True)
         return {"data": data, "scales": scales}
     upd = jnp.concatenate(
         [k.reshape(t, hkv * d), v.reshape(t, hkv * d)]).astype(data.dtype)
@@ -185,15 +248,20 @@ def gather_pages(cache: dict, layer_i, block_tables, num_gather_pages: int,
     k_rows = kv_rows(layer_i, 0, slots, page_size, num_pages)
     v_rows = kv_rows(layer_i, 1, slots, page_size, num_pages)
     if data.dtype == jnp.int8:
-        sc = cache["scales"][scale_rows(layer_i, slots, page_size,
-                                        num_pages)]  # [S, K, SCALE_LANES]
+        rpp = scale_rows_per_page(num_kv_heads)
+        base = scale_block_row(layer_i, tables, num_pages, rpp)  # [S, Pk]
+        brows = base[:, :, None] + jnp.arange(rpp, dtype=jnp.int32)
+        blocks = cache["scales"][brows]          # [S, Pk, RPP, ps]
+        # -> per-slot scale columns [S, K, RPP]
+        sc = jnp.swapaxes(blocks, 2, 3).reshape(
+            s, num_gather_pages * page_size, rpp)
 
     # [S, K, Hkv*D] -> [S, K, Hkv, D] -> [S, Hkv, K, D]
-    def fetch(rows, lane0):
+    def fetch(rows, row0):
         x = data[rows].reshape(s, -1, num_kv_heads, d)
         if data.dtype == jnp.int8:
             x = (x.astype(jnp.float32)
-                 * sc[..., lane0:lane0 + num_kv_heads]
+                 * sc[..., row0:row0 + num_kv_heads]
                  .astype(jnp.float32)[..., None])
         return jnp.moveaxis(x, 1, 2)
     return fetch(k_rows, 0), fetch(v_rows, num_kv_heads)

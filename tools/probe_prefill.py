@@ -9,7 +9,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from nanovllm_tpu.ops.attention_pallas import ragged_prefill_attention
-from nanovllm_tpu.ops.kv_cache import create_kv_cache, SCALE_DTYPE, SCALE_LANES
+from nanovllm_tpu.ops.kv_cache import (create_kv_cache, SCALE_DTYPE,
+                                       scale_rows_per_page)
 
 T = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 NSEQ = int(sys.argv[2]) if len(sys.argv) > 2 else 1
@@ -30,8 +31,8 @@ nt = T // tq
 tile_seq = jnp.repeat(jnp.arange(NSEQ, dtype=jnp.int32), per // tq)
 tile_pos0 = jnp.tile(jnp.arange(per // tq, dtype=jnp.int32) * tq, NSEQ)
 k_rows = jnp.zeros((T, hkv * d), dtype)
-kv_scales = (jnp.ones((T, SCALE_LANES), SCALE_DTYPE) if dtype == jnp.int8
-             else jnp.ones((1, 1), SCALE_DTYPE))
+kv_scales = (jnp.ones((T // ps * scale_rows_per_page(hkv), ps), SCALE_DTYPE)
+             if dtype == jnp.int8 else jnp.ones((1, 1), SCALE_DTYPE))
 interp = jax.devices()[0].platform == "cpu"
 
 def run(qq, data, scales):
