@@ -584,6 +584,46 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     return out, data, scales
 
 
+def _diag_heads(carry, q_heads, kr, vr, sc_ref, mask, tq, npw, rpp, ps, hkv,
+                d, quantized, dot_dtype, scale):
+    """Online-softmax update over the tile's OWN (diagonal) K/V block,
+    sourced from the VMEM input blocks rather than the cache — the tile
+    never reads its freshly-written pages back from HBM, so the write DMAs
+    need no wait before compute. kr/vr: [tq, Hkv*D] values (cache dtype);
+    sc_ref: the tile's [npw*RPP, ps] transposed scale blocks (or None);
+    mask: [rows, tq]."""
+    out = []
+    for h in range(hkv):
+        m, l, acc = carry[h]
+        hs = slice(h * d, (h + 1) * d)
+        s = lax.dot_general(
+            q_heads[h], kr[:, hs].astype(dot_dtype),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale     # [rows, tq]
+        if quantized:
+            krow = jnp.concatenate(
+                [sc_ref[p * rpp + h:p * rpp + h + 1, :] for p in range(npw)],
+                axis=1).astype(jnp.float32)                 # [1, tq]
+            s = s * krow
+        s = jnp.where(mask, s, MASK_VALUE)
+        m_curr = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m, m_curr)
+        alpha = jnp.exp(m - m_next)
+        p = jnp.exp(s - m_next)
+        l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+        if quantized:
+            vrow = jnp.concatenate(
+                [sc_ref[p * rpp + hkv + h:p * rpp + hkv + h + 1, :]
+                 for p in range(npw)], axis=1).astype(jnp.float32)
+            p = p * vrow
+        o_curr = lax.dot_general(
+            p.astype(dot_dtype), vr[:, hs].astype(dot_dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        out.append((m_next, l_next, acc * alpha + o_curr))
+    return tuple(out)
+
+
 def _prefill_kernel(
     # scalar prefetch
     layer_ref,      # i32[1]
@@ -594,10 +634,13 @@ def _prefill_kernel(
     # inputs
     q_ref,          # [TQ, Hq, D] q-tile (all heads; Hq spans the full axis
     #                 to satisfy the TPU (8,128) block-tiling constraint)
-    kr_ref,         # HBM [T, Hkv*D] new K rows (cache dtype) for write-through
-    vr_ref,         # HBM [T, Hkv*D]
-    sc_ref,         # HBM bf16[NT*npw*RPP, ps] TRANSPOSED per-page scale
-    #                 blocks (quantize_kv_blocks; dummy [1, 1] when not int8)
+    kr_ref,         # [TQ, Hkv*D] VMEM block: the tile's new K rows (cache
+    #                 dtype) — the diagonal compute source AND the
+    #                 write-through DMA source
+    vr_ref,         # [TQ, Hkv*D] VMEM block
+    sc_ref,         # [npw*RPP, ps] VMEM block: the tile's TRANSPOSED
+    #                 per-page scale blocks (quantize_kv_blocks; dummy ANY
+    #                 [1, 1] when not int8)
     data_in_ref,    # HBM (aliased with data_ref)
     scales_in_ref,  # HBM (aliased with scales_ref)
     # outputs
@@ -623,27 +666,45 @@ def _prefill_kernel(
     quantized: bool,
     dot_dtype,
 ):
+    """Per-tile schedule (designed so no DMA wait is ever exposed — the
+    donated-cache probe showed the old write-then-read-own-pages round trip
+    cost ~20 us/tile, 26x the streaming time):
+
+    1. issue the tile's write-through DMAs (VMEM block -> its own pages);
+    2. compute the DIAGONAL block from the VMEM inputs (never re-reading
+       the written pages) while prefix chunk 0 — prefetched by the
+       PREVIOUS grid step — lands;
+    3. stream prefix chunks [0, pos0) double-buffered, masked kv < pos0
+       (the tail of the last chunk may overlap the write region: those
+       lanes are masked, so the read value — old bytes or new — is
+       irrelevant and the race is harmless);
+    4. wait the write DMAs (issued a whole tile of work ago — free), then
+       prefetch the NEXT tile's chunk 0 (only safe after the wait: its
+       chunk 0 can contain THIS tile's page).
+    """
     del data_in_ref, scales_in_ref
+    nt = tile_seq_ref.shape[0]
     ti = pl.program_id(0)
     li = layer_ref[0]
     si = tile_seq_ref[ti]
     pos0 = tile_pos0_ref[ti]
     is_real = pos0 >= 0
     ctx = jnp.where(is_real, ctx_ref[si], 0)
-    # Causal flash: this tile attends kv positions [0, min(pos0 + TQ, ctx)).
-    kv_hi = jnp.minimum(pos0 + tq, ctx)
     chunk = ppc * page_size
-    n_chunks = jnp.where(is_real, lax.div(kv_hi + chunk - 1, chunk), 0)
+    # Prefix chunks cover kv positions [0, pos0); the diagonal block
+    # [pos0, min(pos0+tq, ctx)) comes from the VMEM inputs.
+    n_pre = jnp.where(is_real, lax.div(pos0 + chunk - 1, chunk), 0)
     num_pages = num_slots // page_size
     ps = page_size
 
     # Write-through: this tile's K/V rows land in its own page(s) as aligned
-    # row-run DMAs — the XLA row scatter lowers to a sequential per-row loop
-    # (measured 93 ms for an 8k-token prefill; these DMAs are ~0.3 ms).
-    # Tiles are page-aligned: pos0 % tq == 0 and pages hold ps tokens with
-    # tq % ps == 0 or ps % tq == 0, so each covered page gets one contiguous
-    # run of wr rows at a sublane-aligned offset. INT8 scale blocks are
-    # whole-page [RPP, ps] DMAs (quantized requires tq % ps == 0).
+    # row-run DMAs straight from the VMEM input blocks — the XLA row scatter
+    # lowers to a sequential per-row loop (measured 93 ms for an 8k-token
+    # prefill; these DMAs are ~0.3 ms). Tiles are page-aligned: pos0 % tq
+    # == 0 and pages hold ps tokens with tq % ps == 0 or ps % tq == 0, so
+    # each covered page gets one contiguous run of wr rows at a
+    # sublane-aligned offset. INT8 scale blocks are whole-page [RPP, ps]
+    # DMAs (quantized requires tq % ps == 0).
     wr = min(tq, ps)
     npw = max(1, tq // ps)
 
@@ -658,7 +719,7 @@ def _prefill_kernel(
             # tiling contract, but that's invisible to the prover).
             off = lax.rem(lax.div(pos_i, wr), ps // wr) * wr
             base = (li * num_pages + page) * 2 * ps + off
-            src = pl.ds(ti * tq + i * wr, wr)
+            src = pl.ds(i * wr, wr)
             cs.append((valid, pltpu.make_async_copy(
                 kr_ref.at[src], data_ref.at[pl.ds(base, wr)], wsem)))
             cs.append((valid, pltpu.make_async_copy(
@@ -666,7 +727,7 @@ def _prefill_kernel(
             if quantized:
                 sbase = (li * num_pages + page) * rpp
                 cs.append((valid, pltpu.make_async_copy(
-                    sc_ref.at[pl.ds((ti * npw + i) * rpp, rpp)],
+                    sc_ref.at[pl.ds(i * rpp, rpp)],
                     scales_ref.at[pl.ds(sbase, rpp)], wsem)))
         return cs
 
@@ -678,23 +739,13 @@ def _prefill_kernel(
     chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
                                     page_size, rpp, li, num_pages, kv_buf,
                                     s_buf, sems, quantized)
-    first_own_chunk = lax.div(jnp.maximum(pos0, 0), chunk)
 
-    def start_chunk(chunk_idx, slot):
-        # The tile reads its own freshly-written pages starting at
-        # first_own_chunk: the writes must land before those reads issue.
-        @pl.when(chunk_idx == first_own_chunk)
-        def _():
-            for valid, c in write_copies():
-                @pl.when(valid)
-                def _():
-                    c.wait()
-        for c in chunk_copies(si, chunk_idx, slot):
-            c.start()
-
-    @pl.when(n_chunks > 0)
+    # Chunk 0 is prefetched by the previous grid step (after ITS write
+    # wait); only the very first grid step issues its own.
+    @pl.when((ti == 0) & (n_pre > 0))
     def _():
-        start_chunk(0, 0)
+        for c in chunk_copies(si, 0, 0):
+            c.start()
 
     rows = tq * g
     # Row r of head-group h corresponds to query token r // g.
@@ -702,29 +753,57 @@ def _prefill_kernel(
         q_ref[:, h * g:(h + 1) * g, :].reshape(rows, d).astype(dot_dtype)
         for h in range(hkv)
     ]
-    q_pos = pos0 + lax.broadcasted_iota(jnp.int32, (rows, chunk), 0) // g
+    init = tuple((jnp.full((rows, 1), MASK_VALUE, jnp.float32),
+                  jnp.zeros((rows, 1), jnp.float32),
+                  jnp.zeros((rows, d), jnp.float32)) for _ in range(hkv))
+
+    # Diagonal first: overlaps prefix chunk 0's DMA. Pad tiles self-
+    # neutralize (all-masked softmax hits the p=1 degenerate case, but
+    # their V block is input padding = zeros, so acc stays 0).
+    q_pos_d = pos0 + lax.broadcasted_iota(jnp.int32, (rows, tq), 0) // g
+    kv_pos_d = pos0 + lax.broadcasted_iota(jnp.int32, (rows, tq), 1)
+    dmask = (kv_pos_d <= q_pos_d) & (kv_pos_d < ctx)
+    carry = _diag_heads(init, q_heads, kr_ref[...], vr_ref[...],
+                        sc_ref if quantized else None, dmask, tq, npw, rpp,
+                        ps, hkv, d, quantized, dot_dtype, scale)
 
     def body(ci, carry):
         slot = lax.rem(ci, 2)
 
-        @pl.when(ci + 1 < n_chunks)
+        @pl.when(ci + 1 < n_pre)
         def _():
-            start_chunk(ci + 1, lax.rem(ci + 1, 2))
+            for c in chunk_copies(si, ci + 1, lax.rem(ci + 1, 2)):
+                c.start()
 
         for c in chunk_copies(si, ci, slot):
             c.wait()
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (rows, chunk),
                                                    1)
-        mask = (kv_pos <= q_pos) & (kv_pos < ctx)
+        # The last prefix chunk's tail (kv >= pos0) is the tile's own
+        # freshly-written region: masked out here (the diagonal covered
+        # it), which also makes the write/read DMA race harmless.
+        mask = kv_pos < pos0
         return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
                                   s_buf[slot] if quantized else None, mask,
                                   ppc, page_size, rpp, hkv, d, quantized,
                                   dot_dtype, scale)
 
-    init = tuple((jnp.full((rows, 1), MASK_VALUE, jnp.float32),
-                  jnp.zeros((rows, 1), jnp.float32),
-                  jnp.zeros((rows, d), jnp.float32)) for _ in range(hkv))
-    carry = lax.fori_loop(0, n_chunks, body, init)
+    carry = lax.fori_loop(0, n_pre, body, carry)
+
+    # Retire the write DMAs (issued a whole tile ago), then prefetch the
+    # successor's chunk 0 — strictly after the wait, because that chunk can
+    # include this tile's just-written page.
+    for valid, c in write_copies():
+        @pl.when(valid)
+        def _():
+            c.wait()
+    nti = jnp.minimum(ti + 1, nt - 1)
+    next_needs = (ti + 1 < nt) & (tile_pos0_ref[nti] > 0)
+
+    @pl.when(next_needs)
+    def _():
+        for c in chunk_copies(tile_seq_ref[nti], 0, 0):
+            c.start()
 
     for h in range(hkv):
         m, l, acc = carry[h]
@@ -785,14 +864,19 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
         tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots,
         quantized=quantized, dot_dtype=dot_dtype)
+    npw = max(1, q_tile // page_size)
+    sc_spec = (pl.BlockSpec((npw * rpp, page_size), lambda ti, *_: (ti, 0))
+               if quantized else pl.BlockSpec(memory_space=pl.ANY))
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(nt,),
         in_specs=[
             pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # kr/vr are VMEM blocks: the diagonal compute source and the
+            # write-through DMA source (one read of the new rows, not two).
+            pl.BlockSpec((q_tile, hkv * d), lambda ti, *_: (ti, 0)),
+            pl.BlockSpec((q_tile, hkv * d), lambda ti, *_: (ti, 0)),
+            sc_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
@@ -820,8 +904,12 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         # Operand numbering includes the 5 scalar-prefetch args: data is
         # operand 9 -> output 1, scales operand 10 -> output 2.
         input_output_aliases={9: 1, 10: 2},
+        # The blocked kr/vr inputs (diagonal source) push past the default
+        # 16 MiB scoped-vmem limit by ~64 KiB at tq=128/bf16; v5e has far
+        # more VMEM than the conservative default allows.
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=32 * 1024 * 1024),
         interpret=interpret,
     )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables,
       q, k_rows, v_rows, kv_scales, data, scales)

@@ -14,7 +14,8 @@ from nanovllm_tpu.ops.kv_cache import (create_kv_cache, SCALE_DTYPE,
 
 T = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
 NSEQ = int(sys.argv[2]) if len(sys.argv) > 2 else 1
-hq, hkv, d, ps, tq = 16, 8, 128, 128, 128
+hq, hkv, d, ps = 16, 8, 128, 128
+tq = int(os.environ.get("TQ", 128))
 per = T // NSEQ
 pps = -(-per // ps)
 num_pages = int(os.environ.get("PAGES", NSEQ * pps + 1))
