@@ -64,7 +64,6 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
     step_slots = jnp.asarray(
         np.asarray(tables)[:, last // page_size] * page_size
         + last % page_size)
-    zero_rows = jnp.zeros((1, hkv * d), dtype)
     interp = jax.devices()[0].platform == "cpu"
 
     # The kernel aliases the cache in place; donate it and thread it through
@@ -73,8 +72,7 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
 
     from jax import lax
 
-    from nanovllm_tpu.ops.kv_cache import (quantize_kv_rows,
-                                           write_quantized_rows)
+    from nanovllm_tpu.ops.kv_cache import quantize_kv_rows
 
     # Long chain: the axon tunnel's per-dispatch round trip (~30-55 ms) must
     # amortize to noise against the on-device time.
@@ -84,21 +82,17 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
     def chain(x, data, scales):
         def body(c, _):
             qq, data, scales = c
-            # Mirror the production decode step: XLA data-row scatter + the
-            # kernel merging the scale lane (int8) in place.
+            # Production decode step: the kernel writes the new rows and
+            # merges the scale lane itself.
             if dtype == jnp.int8:
                 kq, vq, cols = quantize_kv_rows(qq[:, :hkv, :],
                                                 qq[:, :hkv, :])
-                data = write_quantized_rows(data, 0, kq, vq, step_slots,
-                                            num_slots, page_size)
             else:
-                cc = write_kv({"data": data, "scales": scales}, 0,
-                              qq[:, :hkv, :], qq[:, :hkv, :], step_slots,
-                              num_slots, 1, page_size)
-                data, scales = cc["data"], cc["scales"]
+                kq = qq[:, :hkv, :].reshape(bs, hkv * d).astype(dtype)
+                vq = kq
                 cols = jnp.ones((bs, 1), jnp.float32)
             o, data, scales = paged_decode_attention(
-                qq, zero_rows, zero_rows, cols,
+                qq, kq, vq, cols,
                 data, scales, 0, ctxs, tables, step_slots,
                 scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
                 num_layers=1, interpret=interp)

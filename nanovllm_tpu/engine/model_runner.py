@@ -181,7 +181,10 @@ class ModelRunner:
                    + (mc.num_attention_heads + 2 * mc.num_key_value_heads)
                    * mc.head_dim) * 2
         act += cfg.max_num_seqs * mc.vocab_size * 4
-        act = int(act * 1.5) + (512 << 20)
+        # The flat 1 GiB covers executable temp arenas (prefill + fused
+        # decode coexisting) — 512 MiB OOM'd at runtime once both the
+        # blocked-input decode kernel and the prefill program were live.
+        act = int(act * 1.5) + (1024 << 20)
         return int(limit * cfg.hbm_utilization) - in_use - act
 
     def _allocate_kv_cache(self):

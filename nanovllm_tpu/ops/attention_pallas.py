@@ -25,13 +25,12 @@ lane into its streamed VMEM copy of the block (jnp.where on the lane iota)
 and DMAs the merged block back, with the write-back waited lazily via an
 SMEM counter chain so its latency hides behind the next sequence's compute.
 
-Decode-step KV data writes are XLA row scatters on this layout (a handful
-of [T, Hkv*D] rows — cheap, unlike the old head-major layout's 1024 tiny
-rows at 165 us/layer/step). The kernel can also write the rows itself
-(enable_write=True: in-kernel DMA on the aliased cache, waited before the
-last chunk's reads), but real TPUs reject the 1-row HBM slice (Mosaic DMA
-slices must be sublane-tile aligned), so that path is interpret/testing-only
-until an aligned read-modify-write variant exists.
+Decode-step KV data writes also happen IN-KERNEL: the new token's rows
+arrive as VMEM input blocks, get merged into the streamed chunk copy when
+its chunk lands (so this step's attention sees them), and the containing
+sublane-tile-aligned [win, Hkv*D] windows are DMA'd back — Mosaic rejects
+unaligned 1-row HBM slices, and the XLA row-scatter alternative lowers to
+a sequential per-row loop (~0.5 ms/step at 28 layers x 192 rows).
 """
 
 from __future__ import annotations
@@ -46,7 +45,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, quantize_kv_blocks,
                                         quantize_kv_rows,
-                                        scale_rows_per_page, write_kv)
+                                        scale_rows_per_page)
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -222,14 +221,15 @@ def _decode_kernel(
     layer_ref,      # i32[1]
     ctx_ref,        # i32[S]
     bt_ref,         # i32[S, pages_per_seq]
-    slot_ref,       # i32[S]  (num_slots for pad seqs)
+    slot_ref,       # i32[S]  (num_slots for pad/no-write seqs)
     # inputs
     q_ref,          # [1, Hq, Hkv*D] VMEM block: PREBUILT block-diagonal q
     #                 (row i nonzero only in head i//g's lane block), bf16 or
     #                 int8 (int8_dots)
-    kr_ref,         # HBM [S, Hkv*D] new K rows (quantized when int8);
-    #                 used only by the enable_write testing path
-    vr_ref,         # HBM [S, Hkv*D]
+    kr_ref,         # [1, 1, Hkv*D] VMEM block: the seq's new K row (cache
+    #                 dtype) — merged into the streamed chunk and written
+    #                 back through an aligned sublane window
+    vr_ref,         # [1, 1, Hkv*D] VMEM block
     scol_ref,       # [1, RPP, ps] VMEM block: the seq's new-token scale
     #                 column broadcast across lanes (row r = scale for
     #                 block-row r, rows >= 2*Hkv hold 1.0); the kernel
@@ -251,10 +251,12 @@ def _decode_kernel(
     # scratch
     kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
     s_buf,          # VMEM [2, ppc*RPP, ps] bf16 transposed scale blocks
-    wb_buf,         # VMEM [RPP, ps] bf16: merged block staged for write-back
+    wb_s,           # VMEM [RPP, ps] bf16: merged scale block staged for
+    #                 write-back
+    wb_kv,          # VMEM [2*win, Hkv*D] cache dtype: merged K window (rows
+    #                 [0,win)) and V window (rows [win,2win)) staged
     sems,           # DMA sems [2]
-    wsem,           # DMA sem for the (testing-only) row writes
-    wbsem,          # DMA sem for scale-block write-backs
+    wbsem,          # DMA sem for the write-back chain
     gctr,           # SMEM i32[2]: [0] global chunk counter (persists across
     #                 the grid), [1] write-back-outstanding flag
     *,
@@ -262,14 +264,24 @@ def _decode_kernel(
     page_size: int,
     ppc: int,
     rpp: int,
+    win: int,
     hkv: int,
     g: int,
     d: int,
     num_slots: int,
     quantized: bool,
-    enable_write: bool,
     dot_dtype,
 ):
+    """The kernel owns ALL KV writes for the step (XLA's row scatter lowers
+    to a sequential per-row loop; its scale-lane update can't be expressed
+    at all): when the chunk holding position ctx-1 streams in, the new K/V
+    rows (VMEM input blocks) and the scale lane are merged into the VMEM
+    copy — so this step's attention sees them — and the containing
+    sublane-tile-aligned windows ([win, Hkv*D] data rows; the [RPP, ps]
+    scale block) are DMA'd back to the cache. Write-backs are staged
+    through dedicated scratch and waited LAZILY one sequence later (SMEM
+    flag chain), so their latency hides behind a whole sequence of compute;
+    the final grid step drains the last outstanding set."""
     del data_in_ref, scales_in_ref
     si = pl.program_id(0)
     li = layer_ref[0]
@@ -280,63 +292,32 @@ def _decode_kernel(
     num_pages = num_slots // page_size
     ps = page_size
 
-    def write_copies():
-        base = ((li * num_pages + slot // ps) * 2 * ps + lax.rem(slot, ps))
-        return [pltpu.make_async_copy(kr_ref.at[pl.ds(si, 1)],
-                                      data_ref.at[pl.ds(base, 1)],
-                                      wsem),
-                pltpu.make_async_copy(vr_ref.at[pl.ds(si, 1)],
-                                      data_ref.at[pl.ds(base + ps, 1)],
-                                      wsem)]
-
-    valid_write = (slot < num_slots) if enable_write else False
-
-    if enable_write:
-        @pl.when(valid_write)
-        def _():
-            for c in write_copies():
-                c.start()
-
     chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
                                     page_size, rpp, li, num_pages, kv_buf,
                                     s_buf, sems, quantized)
     s_total = ctx_ref.shape[0]
 
-    if enable_write:
-        # Simple per-sequence double buffering (interpret/testing path: the
-        # in-kernel row write must be waited before the last chunk reads the
-        # row's page back).
-        def start_chunk(chunk_idx, slot_buf):
-            @pl.when((chunk_idx == n_chunks - 1) & valid_write)
-            def _():
-                for c in write_copies():
-                    c.wait()
-            for c in chunk_copies(si, chunk_idx, slot_buf):
-                c.start()
+    # Cross-sequence pipelining: a persistent SMEM counter tracks the
+    # global chunk index (chunks laid out seq-major in grid order);
+    # buffer slot = global index % 2. While computing its last chunk, a
+    # sequence prefetches the NEXT sequence's first chunk, so per-seq
+    # DMA latency is hidden (pad seqs have ctx 0 and sit at the END of
+    # the batch — build_decode_meta's contract).
+    @pl.when(si == 0)
+    def _():
+        gctr[0] = 0
+        gctr[1] = 0
 
-        @pl.when(si == 0)
-        def _():
-            gctr[1] = 0
+    # Chunk 0 is normally prefetched by the previous REAL sequence's last
+    # chunk; self-start when there is no such predecessor (grid start, or a
+    # pad immediately before — pads sit at the END in production decode
+    # meta, but the kernel stays correct for any placement).
+    prev_pad = ctx_ref[jnp.maximum(si - 1, 0)] == 0
 
-        @pl.when(n_chunks > 0)
-        def _():
-            start_chunk(0, 0)
-    else:
-        # Cross-sequence pipelining: a persistent SMEM counter tracks the
-        # global chunk index (chunks laid out seq-major in grid order);
-        # buffer slot = global index % 2. While computing its last chunk, a
-        # sequence prefetches the NEXT sequence's first chunk, so per-seq
-        # DMA latency is hidden (pad seqs have ctx 0 and sit at the END of
-        # the batch — build_decode_meta's contract).
-        @pl.when(si == 0)
-        def _():
-            gctr[1] = 0
-
-        @pl.when((si == 0) & (n_chunks > 0))
-        def _():
-            gctr[0] = 0
-            for c in chunk_copies(si, 0, 0):
-                c.start()
+    @pl.when((n_chunks > 0) & ((si == 0) | prev_pad))
+    def _():
+        for c in chunk_copies(si, 0, lax.rem(gctr[0], 2)):
+            c.start()
 
     hq = hkv * g
     # Block-diagonal Q and the scale selectors are prebuilt outside the
@@ -348,74 +329,98 @@ def _decode_kernel(
     if quantized:
         sel_k = selk_ref[0]                           # [Hq, RPP]
         sel_v = selv_ref[0]
-        # The new token's scale lane: merged into its page's streamed block
-        # when the chunk holding position ctx-1 is processed, then the
-        # merged block is DMA'd back (the in-place lane update XLA cannot
-        # express as a row scatter).
-        lpos = ctx - 1
-        merge_valid = (slot < num_slots) & (ctx > 0)
-        ltc = jnp.where(merge_valid, lax.div(lpos, chunk), -1)
-        pic = lax.rem(lax.div(jnp.maximum(lpos, 0), ps), ppc)
-        off = lax.rem(jnp.maximum(lpos, 0), ps)
 
-    def merge_scale_lane(slot_buf):
-        blk = s_buf[slot_buf, pl.ds(pic * rpp, rpp), :]    # [RPP, ps]
-        lane = lax.broadcasted_iota(jnp.int32, (rpp, ps), 1)
-        merged = jnp.where(lane == off, scol_ref[0], blk)
-        s_buf[slot_buf, pl.ds(pic * rpp, rpp), :] = merged
-        # Deferred-wait write-back chain: wait the PREVIOUS sequence's
-        # write-back (it read from wb_buf) only now, so its DMA latency
-        # hid behind a whole sequence of compute; the last outstanding one
-        # is drained at the final grid step below.
+    # New-token merge bookkeeping: position ctx-1 lives in chunk ltc at
+    # in-chunk page pic, lane/sublane offset `off`; its physical page is
+    # slot // ps. Pads (slot == num_slots) never merge.
+    lpos = ctx - 1
+    wvalid = (slot < num_slots) & (ctx > 0)
+    ltc = jnp.where(wvalid, lax.div(lpos, chunk), -1)
+    pic = lax.rem(lax.div(jnp.maximum(lpos, 0), ps), ppc)
+    off = lax.rem(jnp.maximum(lpos, 0), ps)
+
+    def wb_copies():
+        """The write-back set, in a fixed order (starts and waits must
+        match 1:1 on the shared semaphore)."""
+        woff = lax.div(off, win)
+        kdst = ((li * num_pages + lax.div(slot, ps)) * (2 * ps // win)
+                + woff) * win
+        cs = [pltpu.make_async_copy(
+                  wb_kv.at[pl.ds(0, win)], data_ref.at[pl.ds(kdst, win)],
+                  wbsem),
+              pltpu.make_async_copy(
+                  wb_kv.at[pl.ds(win, win)],
+                  data_ref.at[pl.ds(kdst + (ps // win) * win, win)], wbsem)]
+        if quantized:
+            sdst = (li * num_pages + lax.div(slot, ps)) * rpp
+            cs.append(pltpu.make_async_copy(
+                wb_s, scales_ref.at[pl.ds(sdst, rpp)], wbsem))
+        return cs
+
+    def merge_new_token(slot_buf):
+        # Wait the PREVIOUS sequence's write-backs first (they read from
+        # the wb scratch this merge is about to overwrite); a whole
+        # sequence of compute has hidden their latency.
         @pl.when(gctr[1] == 1)
         def _():
-            pltpu.make_async_copy(
-                wb_buf, scales_ref.at[pl.ds(0, rpp)], wbsem).wait()
-        wb_buf[...] = merged
-        dst = (li * num_pages + lax.div(slot, ps)) * rpp
-        pltpu.make_async_copy(
-            wb_buf, scales_ref.at[pl.ds(dst, rpp)], wbsem).start()
+            for c in wb_copies():
+                c.wait()
+        # K/V rows into the aligned [win, Hkv*D] windows of the streamed
+        # chunk copy (this step's attention reads the merged values).
+        sub = lax.broadcasted_iota(jnp.int32, (win, hkv * d), 0)
+        woff = lax.div(off, win)
+        kbase = (pic * (2 * ps // win) + woff) * win
+        vbase = kbase + (ps // win) * win
+        mrow = sub == off - woff * win
+        wk = jnp.where(mrow, jnp.broadcast_to(kr_ref[0], (win, hkv * d)),
+                       kv_buf[slot_buf, pl.ds(kbase, win), :])
+        kv_buf[slot_buf, pl.ds(kbase, win), :] = wk
+        wb_kv[pl.ds(0, win), :] = wk
+        wv = jnp.where(mrow, jnp.broadcast_to(vr_ref[0], (win, hkv * d)),
+                       kv_buf[slot_buf, pl.ds(vbase, win), :])
+        kv_buf[slot_buf, pl.ds(vbase, win), :] = wv
+        wb_kv[pl.ds(win, win), :] = wv
+        if quantized:
+            blk = s_buf[slot_buf, pl.ds(pic * rpp, rpp), :]    # [RPP, ps]
+            lane = lax.broadcasted_iota(jnp.int32, (rpp, ps), 1)
+            merged = jnp.where(lane == off, scol_ref[0], blk)
+            s_buf[slot_buf, pl.ds(pic * rpp, rpp), :] = merged
+            wb_s[...] = merged
+        for c in wb_copies():
+            c.start()
         gctr[1] = 1
 
     def body(ci, carry):
-        if enable_write:
-            slot_buf = lax.rem(ci, 2)
+        gi = gctr[0]                      # global index of (si, ci)
+        slot_buf = lax.rem(gi, 2)
+        nslot = lax.rem(gi + 1, 2)
 
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                start_chunk(ci + 1, lax.rem(ci + 1, 2))
-        else:
-            gi = gctr[0]                      # global index of (si, ci)
-            slot_buf = lax.rem(gi, 2)
-            nslot = lax.rem(gi + 1, 2)
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            for c in chunk_copies(si, ci + 1, nslot):
+                c.start()
 
-            @pl.when(ci + 1 < n_chunks)
-            def _():
-                for c in chunk_copies(si, ci + 1, nslot):
-                    c.start()
+        nsi = jnp.minimum(si + 1, s_total - 1)
+        next_seq_real = (si + 1 < s_total) & (ctx_ref[nsi] > 0)
 
-            nsi = jnp.minimum(si + 1, s_total - 1)
-            next_seq_real = (si + 1 < s_total) & (ctx_ref[nsi] > 0)
-
-            @pl.when((ci + 1 == n_chunks) & next_seq_real)
-            def _():
-                for c in chunk_copies(nsi, 0, nslot):
-                    c.start()
+        @pl.when((ci + 1 == n_chunks) & next_seq_real)
+        def _():
+            for c in chunk_copies(nsi, 0, nslot):
+                c.start()
 
         for c in chunk_copies(si, ci, slot_buf):
             c.wait()
-        if quantized:
-            @pl.when(ci == ltc)
-            def _():
-                merge_scale_lane(slot_buf)
+
+        @pl.when(ci == ltc)
+        def _():
+            merge_new_token(slot_buf)
         pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
         mask = pos < ctx
         carry = _decode_chunk_update(
             carry, q_bd, sel_k, sel_v, kv_buf[slot_buf],
             s_buf[slot_buf] if quantized else None, mask, scale, ppc,
             page_size, rpp, quantized, dot_dtype)
-        if not enable_write:
-            gctr[0] = gi + 1
+        gctr[0] = gi + 1
         return carry
 
     init = (jnp.full((hq, 1), MASK_VALUE, jnp.float32),
@@ -423,12 +428,11 @@ def _decode_kernel(
             jnp.zeros((hq, hkv * d), jnp.float32))
     m, l, acc = lax.fori_loop(0, n_chunks, body, init)
 
-    if quantized:
-        @pl.when((si == s_total - 1) & (gctr[1] == 1))
-        def _():
-            pltpu.make_async_copy(
-                wb_buf, scales_ref.at[pl.ds(0, rpp)], wbsem).wait()
-            gctr[1] = 0
+    @pl.when((si == s_total - 1) & (gctr[1] == 1))
+    def _():
+        for c in wb_copies():
+            c.wait()
+        gctr[1] = 0
 
     out = acc / jnp.where(l == 0.0, 1.0, l)            # [Hq, Hkv*D]
     for h in range(hkv):
@@ -439,31 +443,28 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
-                     "pages_per_chunk", "enable_write", "int8_dots",
-                     "interpret"))
+                     "pages_per_chunk", "int8_dots", "interpret"))
 def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            scales, layer_i, context_lens, block_tables,
                            slot_mapping, *, scale: float, page_size: int,
                            num_slots: int, num_layers: int,
                            pages_per_chunk: int = 0,
-                           enable_write: bool = False,
                            # int8 MXU dots (q + probs absmax-quantized per
                            # row): measured NO speedup over bf16 dots on v5e
                            # (the kernel is not MXU-rate-bound), so accuracy
                            # wins by default; kept for other TPU generations.
                            int8_dots: bool = False,
                            interpret: bool = False):
-    """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized when
-    the cache is int8; used only by the enable_write testing path — the
-    production path scatters them via write_kv before the kernel);
-    kv_scales: [S, 2*Hkv] new-token scale columns (K then V; see
-    quantize_kv_rows) or a [S, 1] dummy when not quantized — the kernel
-    merges each seq's column into its page's transposed scale block in
-    place; data: [L*2*num_slots, Hkv*D]; scales: bf16[(L*num_pages+1)*RPP,
-    ps] | f32[1, 1]; layer_i: i32 scalar; context_lens: i32[S];
-    block_tables: i32[S, pages_per_seq]; slot_mapping: i32[S] (the new
-    token's slot; num_slots for pads/no-write). Returns (out [S, Hq, D],
-    data, scales) — cache arrays aliased in place."""
+    """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized
+    when the cache is int8) — the KERNEL writes them into the cache (merge
+    into the streamed chunk + aligned-window write-back); kv_scales:
+    [S, 2*Hkv] new-token scale columns (K then V; see quantize_kv_rows) or
+    a [S, 1] dummy when not quantized — merged the same way; data:
+    [L*2*num_slots, Hkv*D]; scales: bf16[(L*num_pages+1)*RPP, ps] |
+    f32[1, 1]; layer_i: i32 scalar; context_lens: i32[S]; block_tables:
+    i32[S, pages_per_seq]; slot_mapping: i32[S] (the new token's slot;
+    num_slots for pads/no-write). Returns (out [S, Hq, D], data, scales) —
+    cache arrays aliased in place."""
     s, hq, d = q.shape
     hkv = k_rows.shape[1] // d
     g = hq // hkv
@@ -532,17 +533,23 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         sel_k = sel_v = jnp.zeros((1, 1, 1), SCALE_DTYPE)
         scol_spec = selk_spec = selv_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    # Aligned write-back window: Mosaic DMA row slices must start at a
+    # multiple of the dtype's sublane tile.
+    win = {1: 32, 2: 16, 4: 8}[jnp.dtype(data.dtype).itemsize]
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
-        hkv=hkv, g=g, d=d, num_slots=num_slots, quantized=quantized,
-        enable_write=enable_write, dot_dtype=dot_dtype)
+        win=win, hkv=hkv, g=g, d=d, num_slots=num_slots,
+        quantized=quantized, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, hq, hkv * d), lambda si, *_: (si, 0, 0)),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            # [S, 1, Hkv*D] with a unit middle dim: the (1, Hkv*D) trailing
+            # block equals the array's trailing dims, satisfying the TPU
+            # (8, 128) block-tiling rule.
+            pl.BlockSpec((1, 1, hkv * d), lambda si, *_: (si, 0, 0)),
+            pl.BlockSpec((1, 1, hkv * d), lambda si, *_: (si, 0, 0)),
             scol_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -558,8 +565,8 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
             pltpu.VMEM((2, ppc * rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((rpp, ps), SCALE_DTYPE),
+            pltpu.VMEM((2 * win, hkv * d), data.dtype),
             pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((2,), jnp.int32),
         ],
@@ -580,7 +587,8 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(layer_arr, context_lens, block_tables, slot_mapping,
-      q_bd, k_rows, v_rows, scol, data, scales, sel_k, sel_v)
+      q_bd, k_rows[:, None, :], v_rows[:, None, :], scol, data, scales,
+      sel_k, sel_v)
     return out, data, scales
 
 
@@ -918,20 +926,13 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
-                     num_layers, q_tile=128, in_kernel_write: bool = False,
-                     interpret: bool = False):
-    """Backend entry. Prefill: the ragged prefill kernel with in-kernel
-    write-through of rows and scale blocks.
-
-    Decode: the new K/V data rows are written with an XLA row scatter (on
-    this layout that is a handful of [T, Hkv*D] rows — the embedding-update
-    pattern, in place on the donated cache); INT8 scale lanes are merged
-    into their pages' transposed blocks BY THE KERNEL (XLA cannot scatter a
-    lane in place). With in_kernel_write=True the kernel DMAs the data rows
-    itself too; real TPUs reject the unaligned 1-row HBM slice (Mosaic
-    tiling requires sublane-aligned DMA slices), so that path is
-    interpret/testing-only until an aligned read-modify-write variant
-    exists."""
+                     num_layers, q_tile=128, interpret: bool = False):
+    """Backend entry. Both kernels own their KV writes: prefill
+    writes-through rows and scale blocks per tile; decode merges the new
+    token's rows and scale lane into the streamed chunk and writes back
+    aligned windows (the XLA row scatter this replaces lowered to a
+    sequential per-row loop; the scale-lane update can't be expressed as a
+    scatter at all)."""
     t, hkv, d = k.shape
     quantized = cache["data"].dtype == jnp.int8
     if is_prefill:
@@ -949,35 +950,15 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
             q_tile=q_tile, interpret=interpret)
         return out, {"data": data, "scales": scales}
-    if in_kernel_write:
-        if quantized:
-            k_rows, v_rows, kv_scales = quantize_kv_rows(k, v)
-        else:
-            k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
-            v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
-            kv_scales = jnp.ones((t, 1), jnp.float32)
-        out, data, scales = paged_decode_attention(
-            q, k_rows, v_rows, kv_scales, cache["data"], cache["scales"],
-            layer_i, meta.context_lens, meta.block_tables, meta.slot_mapping,
-            scale=scale, page_size=page_size, num_slots=num_slots,
-            num_layers=num_layers, enable_write=True, interpret=interpret)
-        return out, {"data": data, "scales": scales}
     if quantized:
-        from nanovllm_tpu.ops.kv_cache import write_quantized_rows
-        kq, vq, kv_scales = quantize_kv_rows(k, v)
-        cache = dict(cache, data=write_quantized_rows(
-            cache["data"], layer_i, kq, vq, meta.slot_mapping, num_slots,
-            page_size))
+        k_rows, v_rows, kv_scales = quantize_kv_rows(k, v)
     else:
-        cache = write_kv(cache, layer_i, k, v, meta.slot_mapping, num_slots,
-                         num_layers, page_size)
+        k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
+        v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
         kv_scales = jnp.ones((t, 1), jnp.float32)
-    data, scales = cache["data"], cache["scales"]
-    k_rows = jnp.zeros((1, hkv * d), data.dtype)
-    v_rows = k_rows
     out, data, scales = paged_decode_attention(
-        q, k_rows, v_rows, kv_scales, data, scales, layer_i,
-        meta.context_lens, meta.block_tables, meta.slot_mapping, scale=scale,
-        page_size=page_size, num_slots=num_slots, num_layers=num_layers,
-        interpret=interpret)
+        q, k_rows, v_rows, kv_scales, cache["data"], cache["scales"],
+        layer_i, meta.context_lens, meta.block_tables, meta.slot_mapping,
+        scale=scale, page_size=page_size, num_slots=num_slots,
+        num_layers=num_layers, interpret=interpret)
     return out, {"data": data, "scales": scales}

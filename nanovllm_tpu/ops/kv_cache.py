@@ -158,25 +158,6 @@ def quantize_kv_blocks(k, v, page_size: int, num_kv_heads: int):
     return kq, vq, blocks.reshape(nb * rpp, page_size)
 
 
-def write_quantized_rows(data, layer_i, kq, vq, slot_mapping,
-                         num_slots: int, page_size: int):
-    """Scatter PRE-QUANTIZED int8 K/V rows (from quantize_kv_rows) into the
-    data array — the Pallas decode path's data write (its scale lanes are
-    merged in-kernel, so re-quantizing inside write_kv would be wasted
-    work). kq, vq: [T, Hkv*D] int8."""
-    num_pages = num_slots // page_size
-    valid = slot_mapping < num_slots
-    total = data.shape[0]
-    slots = jnp.minimum(slot_mapping, num_slots - 1)
-    k_rows = jnp.where(valid, kv_rows(layer_i, 0, slots, page_size,
-                                      num_pages), total)
-    v_rows = jnp.where(valid, kv_rows(layer_i, 1, slots, page_size,
-                                      num_pages), total)
-    rows = jnp.concatenate([k_rows, v_rows])
-    return data.at[rows].set(jnp.concatenate([kq, vq]), mode="drop",
-                             unique_indices=True)
-
-
 def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
              num_layers: int, page_size: int,
              write_scales: bool = True) -> dict:

@@ -40,8 +40,7 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
         q, k_rows, v_rows, kv_scales, cache["data"],
         cache["scales"], layer_i, context_lens, block_tables, slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=num_layers, enable_write=True, int8_dots=int8_dots,
-        interpret=True)
+        num_layers=num_layers, int8_dots=int8_dots, interpret=True)
     return out, {"data": data, "scales": scales}
 
 

@@ -23,8 +23,17 @@ if mode == "noattn":
         return attn
     runner._attn_fn = fake_attn_fn
 elif mode == "nowrite":
+    # The kernel writes KV itself now; sentinel slots disable the merge +
+    # window write-backs.
+    import jax.numpy as jnp
     import nanovllm_tpu.ops.attention_pallas as ap
-    ap.write_kv = lambda cache, *a, **k: cache
+    orig_decode = ap.paged_decode_attention
+
+    def _nw(q, kr, vr, sc, data, scales, li, ctx, bt, slots, **kw):
+        slots = jnp.full_like(slots, kw["num_slots"])
+        return orig_decode(q, kr, vr, sc, data, scales, li, ctx, bt, slots,
+                           **kw)
+    ap.paged_decode_attention = _nw
 print("mode:", mode)
 
 bm = BlockManager(cfg.num_kvcache_blocks, cfg.kvcache_block_size)
