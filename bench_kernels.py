@@ -46,7 +46,9 @@ def timeit_chained(fn, q, *args, iters=20, **kw):
     return best / iters
 
 
-def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16):
+def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
+                 dtype=jnp.bfloat16, page_order="rand", int8_dots=False,
+                 ppc=0):
     pps = -(-ctx // page_size)
     num_pages = bs * pps + 1
     num_slots = num_pages * page_size
@@ -54,8 +56,15 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
     q = jax.random.normal(key, (bs, hq, d), jnp.bfloat16)
     cache = create_kv_cache(1, hkv, num_pages, page_size, d, dtype)
     rng = np.random.default_rng(0)
-    tables = jnp.asarray(rng.permutation(num_pages - 1)[: bs * pps]
-                         .reshape(bs, pps).astype(np.int32) + 1)
+    if page_order == "seq":
+        # The engine's prefill allocation: a sequence's pages contiguous.
+        perm = (np.arange(pps)[None, :] + np.arange(bs)[:, None] * pps)
+    elif page_order == "rr":
+        # Decode growth: pages handed out one per seq per round.
+        perm = np.arange(pps)[None, :] * bs + np.arange(bs)[:, None]
+    else:
+        perm = rng.permutation(num_pages - 1)[: bs * pps].reshape(bs, pps)
+    tables = jnp.asarray(perm.astype(np.int32) + 1)
     ctxs = jnp.full((bs,), ctx, jnp.int32)
     k = jax.random.normal(key, (bs, hkv, d), jnp.bfloat16)
     # The step's new rows land at slot = last token; measured the way the
@@ -95,7 +104,8 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128, dtype=jnp.bfloat16
                 qq, kq, vq, cols,
                 data, scales, 0, ctxs, tables, step_slots,
                 scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
-                num_layers=1, interpret=interp)
+                num_layers=1, int8_dots=int8_dots, pages_per_chunk=ppc,
+                interpret=interp)
             return (o.astype(qq.dtype), data, scales), ()
         (y, data, scales), _ = lax.scan(body, (x, data, scales),
                                         length=iters)
@@ -178,6 +188,10 @@ def main():
     p.add_argument("--kv-dtype", default="bfloat16",
                    choices=["bfloat16", "int8"])
     p.add_argument("--page-size", nargs="+", type=int, default=[128])
+    p.add_argument("--page-order", default="rand",
+                   choices=["rand", "seq", "rr"])
+    p.add_argument("--int8-dots", action="store_true")
+    p.add_argument("--ppc", type=int, default=0)
     p.add_argument("--skip-prefill", action="store_true")
     args = p.parse_args()
     print(f"device: {jax.devices()[0]}")
@@ -188,7 +202,10 @@ def main():
         for bs in args.decode_bs:
             for ctx in args.decode_ctx:
                 dt, gbps = bench_decode(bs, ctx, page_size=page,
-                                        dtype=kv_dtype)
+                                        dtype=kv_dtype,
+                                        page_order=args.page_order,
+                                        int8_dots=args.int8_dots,
+                                        ppc=args.ppc)
                 print(f"page={page:<4d} bs={bs:<4d} ctx={ctx:<6d} "
                       f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s KV-read",
                       flush=True)

@@ -77,6 +77,47 @@ def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, rpp, li,
     return chunk_copies
 
 
+def _mk_decode_chunk_copies(data_ref, scales_ref, bt_ref, ctx_ref, ppc,
+                            page_size, rpp, li, num_pages, pps, kv_buf,
+                            s_buf, sems, quantized):
+    """Decode-side per-chunk page-copy descriptors with a K/V-SPLIT VMEM
+    destination: page i's K rows land at kv_buf[slot, i*ps:(i+1)*ps] and its
+    V rows at kv_buf[slot, chunk + i*ps : ...], so the whole chunk's scores
+    are ONE [Hq, Hkv*D] x [chunk, Hkv*D]^T MXU dot (and probs x V one more)
+    instead of per-page dots — the kernel's measured limit is per-chunk
+    fixed cost, not HBM bandwidth. Each copy carries a PREDICATE (page
+    actually inside the sequence's context): the caller starts/waits it
+    under pl.when, so the last chunk of a sequence skips pages past
+    ceil(ctx/ps) entirely (no masked-read DMA waste). Predicates are pure
+    functions of (si, chunk_idx, i), so starts and waits always match."""
+    rows = page_size
+    chunk = ppc * page_size
+
+    def chunk_copies(si, chunk_idx, slot):
+        ctx = ctx_ref[si]
+        copies = []
+        for i in range(ppc):
+            pg_idx = chunk_idx * ppc + i
+            pred = pg_idx * page_size < ctx
+            page = bt_ref[si, jnp.minimum(pg_idx, pps - 1)]
+            src = (li * num_pages + page) * 2 * page_size
+            copies.append((pred, pltpu.make_async_copy(
+                data_ref.at[pl.ds(src, rows)],
+                kv_buf.at[slot, pl.ds(i * rows, rows)], sems.at[slot])))
+            copies.append((pred, pltpu.make_async_copy(
+                data_ref.at[pl.ds(src + page_size, rows)],
+                kv_buf.at[slot, pl.ds(chunk + i * rows, rows)],
+                sems.at[slot])))
+            if quantized:
+                copies.append((pred, pltpu.make_async_copy(
+                    scales_ref.at[pl.ds((li * num_pages + page) * rpp, rpp)],
+                    s_buf.at[slot, pl.ds(i * rpp, rpp)],
+                    sems.at[slot])))
+        return copies
+
+    return chunk_copies
+
+
 def _page_slices(kv_slot, s_slot, ppc, ps, rpp, quantized):
     """Static per-page K/V (and scale-block) views of a chunk buffer: page
     i's K rows sit at [i*2*ps, i*2*ps+ps), its V rows right after; its
@@ -110,27 +151,33 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     carry: (m [Hq,1], l [Hq,1], acc [Hq, Hkv*D] full-width; per-head lanes
     extracted once at the end). Dots run in `dot_dtype` (bf16 on the
     production path — int8→bf16 casts are exact, f32 accumulation; f32 only
-    when both q and the cache are f32)."""
+    when both q and the cache are f32).
+
+    The chunk buffer is K/V-SPLIT (_mk_decode_chunk_copies): K rows of the
+    whole chunk are contiguous at kv_slot[:chunk], V at kv_slot[chunk:], so
+    scores and probs·V are ONE MXU dot each over the full chunk — the
+    per-page dot/concat chains were the kernel's measured per-chunk fixed
+    cost. Only the tiny [Hq, RPP] scale-selector dots stay per-page (their
+    output lanes are per-page token windows)."""
     m, l, acc = carry
+    chunk = ppc * ps
     int8_dots = q_bd.dtype == jnp.int8
-    k_pages, v_pages, s_pages = _page_slices(
-        kv_slot, s_slot, ppc, ps, rpp, quantized)
+    k_chunk = kv_slot[:chunk]
+    v_chunk = kv_slot[chunk:2 * chunk]
+    if quantized:
+        s_pages = [s_slot[i * rpp:(i + 1) * rpp] for i in range(ppc)]
     if int8_dots:
         # q_bd is per-row absmax-quantized int8 (sel_k carries its scale ×
         # the softmax scale): the dots run on the MXU's int8 path (2× the
         # bf16 rate on v5e) and the int32 result is rescaled exactly.
-        s_parts = [lax.dot_general(
-            q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.int32) for kp in k_pages]
-        s = (s_parts[0] if ppc == 1
-             else jnp.concatenate(s_parts, axis=1)).astype(jnp.float32)
+        s = lax.dot_general(
+            q_bd, k_chunk, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
     else:
-        s_parts = [lax.dot_general(
-            q_bd, kp.astype(dot_dtype),
+        s = lax.dot_general(
+            q_bd, k_chunk.astype(dot_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) for kp in k_pages]
-        s = (s_parts[0] if ppc == 1
-             else jnp.concatenate(s_parts, axis=1)) * scale
+            preferred_element_type=jnp.float32) * scale
     if quantized:
         sc_parts = [lax.dot_general(
             sel_k, sp, dimension_numbers=(((1,), (0,)), ((), ())),
@@ -155,17 +202,14 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
         pmax = jnp.max(p, axis=-1, keepdims=True)
         psc = jnp.maximum(pmax, 1e-20) / 127.0
         pd = jnp.round(p / psc).astype(jnp.int8)
-        o = sum(lax.dot_general(
-            pd[:, i * ps:(i + 1) * ps], v_pages[i],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32) for i in range(ppc))
-        o = o.astype(jnp.float32) * psc
+        o = lax.dot_general(
+            pd, v_chunk, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32).astype(jnp.float32) * psc
     else:
-        pd = p.astype(dot_dtype)
-        o = sum(lax.dot_general(
-            pd[:, i * ps:(i + 1) * ps], v_pages[i].astype(dot_dtype),
+        o = lax.dot_general(
+            p.astype(dot_dtype), v_chunk.astype(dot_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) for i in range(ppc))
+            preferred_element_type=jnp.float32)
     return (m_next, l_next, acc * alpha + o)
 
 
@@ -249,7 +293,8 @@ def _decode_kernel(
     scales_ref,     # HBM [(L*num_pages+1)*RPP, ps] bf16 (aliased; final RPP
     #                 rows = pad-seq write-back dump block)
     # scratch
-    kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
+    kv_buf,         # VMEM [2, 2*chunk, Hkv*D], K/V-SPLIT: the chunk's K rows
+    #                 at [:chunk] (page i at i*ps), V rows at [chunk:]
     s_buf,          # VMEM [2, ppc*RPP, ps] bf16 transposed scale blocks
     wb_s,           # VMEM [RPP, ps] bf16: merged scale block staged for
     #                 write-back
@@ -292,9 +337,9 @@ def _decode_kernel(
     num_pages = num_slots // page_size
     ps = page_size
 
-    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
-                                    page_size, rpp, li, num_pages, kv_buf,
-                                    s_buf, sems, quantized)
+    chunk_copies = _mk_decode_chunk_copies(
+        data_ref, scales_ref, bt_ref, ctx_ref, ppc, page_size, rpp, li,
+        num_pages, bt_ref.shape[1], kv_buf, s_buf, sems, quantized)
     s_total = ctx_ref.shape[0]
 
     # Cross-sequence pipelining: a persistent SMEM counter tracks the
@@ -314,9 +359,10 @@ def _decode_kernel(
     # meta, but the kernel stays correct for any placement).
     prev_pad = ctx_ref[jnp.maximum(si - 1, 0)] == 0
 
-    @pl.when((n_chunks > 0) & ((si == 0) | prev_pad))
-    def _():
-        for c in chunk_copies(si, 0, lax.rem(gctr[0], 2)):
+    self_start = (n_chunks > 0) & ((si == 0) | prev_pad)
+    for pred, c in chunk_copies(si, 0, lax.rem(gctr[0], 2)):
+        @pl.when(self_start & pred)
+        def _():
             c.start()
 
     hq = hkv * g
@@ -366,11 +412,13 @@ def _decode_kernel(
             for c in wb_copies():
                 c.wait()
         # K/V rows into the aligned [win, Hkv*D] windows of the streamed
-        # chunk copy (this step's attention reads the merged values).
+        # chunk copy (this step's attention reads the merged values). The
+        # chunk buffer is K/V-split: page pic's K rows at [pic*ps, +ps),
+        # its V rows at [chunk + pic*ps, +ps).
         sub = lax.broadcasted_iota(jnp.int32, (win, hkv * d), 0)
         woff = lax.div(off, win)
-        kbase = (pic * (2 * ps // win) + woff) * win
-        vbase = kbase + (ps // win) * win
+        kbase = (pic * (ps // win) + woff) * win
+        vbase = chunk + kbase
         mrow = sub == off - woff * win
         wk = jnp.where(mrow, jnp.broadcast_to(kr_ref[0], (win, hkv * d)),
                        kv_buf[slot_buf, pl.ds(kbase, win), :])
@@ -395,21 +443,40 @@ def _decode_kernel(
         slot_buf = lax.rem(gi, 2)
         nslot = lax.rem(gi + 1, 2)
 
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            for c in chunk_copies(si, ci + 1, nslot):
+        have_next = ci + 1 < n_chunks
+        for pred, c in chunk_copies(si, ci + 1, nslot):
+            @pl.when(have_next & pred)
+            def _():
                 c.start()
 
         nsi = jnp.minimum(si + 1, s_total - 1)
-        next_seq_real = (si + 1 < s_total) & (ctx_ref[nsi] > 0)
-
-        @pl.when((ci + 1 == n_chunks) & next_seq_real)
-        def _():
-            for c in chunk_copies(nsi, 0, nslot):
+        next_seq_real = ((ci + 1 == n_chunks) & (si + 1 < s_total)
+                         & (ctx_ref[nsi] > 0))
+        for pred, c in chunk_copies(nsi, 0, nslot):
+            @pl.when(next_seq_real & pred)
+            def _():
                 c.start()
 
-        for c in chunk_copies(si, ci, slot_buf):
-            c.wait()
+        for pred, c in chunk_copies(si, ci, slot_buf):
+            @pl.when(pred)
+            def _():
+                c.wait()
+
+        # Pages predicated off (past ceil(ctx/ps)) leave stale VMEM. Their
+        # score lanes are masked (so K garbage is harmless), but the V dot
+        # multiplies p=0 against the buffer — 0 * NaN = NaN — so zero the V
+        # region (and the scale block: its NaN would ride into p via the
+        # selector dot before the mask). Only a sequence's LAST chunk ever
+        # takes these branches.
+        n_need = lax.div(ctx + ps - 1, ps)
+        for i in range(ppc):
+            @pl.when(ci * ppc + i >= n_need)
+            def _():
+                kv_buf[slot_buf, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
+                    (ps, hkv * d), kv_buf.dtype)
+                if quantized:
+                    s_buf[slot_buf, pl.ds(i * rpp, rpp), :] = jnp.zeros(
+                        (rpp, ps), s_buf.dtype)
 
         @pl.when(ci == ltc)
         def _():
@@ -472,10 +539,11 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     rpp = scale_rows_per_page(hkv)
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
-        pages_per_chunk = max(1, 256 // page_size)
-    ppc = pages_per_chunk
-    while pages_per_seq % ppc:
-        ppc -= 1
+        # 512-token chunks: per-chunk fixed cost (DMA issue + dot latency)
+        # was the measured kernel limit; page copies past ceil(ctx/ps) are
+        # predicated off, so big chunks cost no masked-read DMA waste.
+        pages_per_chunk = max(1, 512 // page_size)
+    ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     ps = page_size
 

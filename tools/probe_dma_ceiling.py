@@ -7,8 +7,10 @@ nothing elides. The measured GB/s is the hardware ceiling for this DMA
 pattern at that depth; the decode kernel's gap to it is compute/overlap
 loss.
 
-Usage: python tools/probe_dma_ceiling.py [bs] [ctx] [page_size] [mode] [nbuf] [ppc]
+Usage: python tools/probe_dma_ceiling.py [bs] [ctx] [page_size] [mode] [nbuf] [ppc] [order]
   mode: dma (checksum only) | dots (DMA + decode-shaped dots, no softmax)
+  order: rand (default) | seq (block tables in allocation order — the real
+         engine's common case: pages per seq are近-sequential)
 """
 import os
 import sys
@@ -136,11 +138,22 @@ def main():
     pages_per_seq = ctx // page_size
     num_pages = bs * pages_per_seq + 1
 
+    order = sys.argv[7] if len(sys.argv) > 7 else "rand"
     rng = np.random.default_rng(0)
     data = jnp.asarray(rng.integers(-127, 127,
                                     (num_pages * 2 * page_size, hkv * d)),
                        jnp.int8)
-    perm = rng.permutation(bs * pages_per_seq).reshape(bs, pages_per_seq)
+    if order == "seq":
+        # Prefill allocation: a sequence's pages are contiguous.
+        perm = (np.arange(pages_per_seq)[None, :]
+                + np.arange(bs)[:, None] * pages_per_seq)
+    elif order == "rr":
+        # Decode growth: one page per seq per round — seq i's page p at
+        # p * bs + i (stride bs pages between a seq's consecutive pages).
+        perm = (np.arange(pages_per_seq)[None, :] * bs
+                + np.arange(bs)[:, None])
+    else:
+        perm = rng.permutation(bs * pages_per_seq).reshape(bs, pages_per_seq)
     bt = jnp.asarray(perm, jnp.int32)
     ctx_arr = jnp.full((bs,), ctx, jnp.int32)
     q = jnp.asarray(rng.normal(size=(bs, 16, hkv * d)), jnp.bfloat16)
