@@ -48,9 +48,9 @@ def timeit_chained(fn, q, *args, iters=20, **kw):
 
 def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
                  dtype=jnp.bfloat16, page_order="rand", int8_dots=False,
-                 ppc=0):
+                 ppc=0, spare_pages=0):
     pps = -(-ctx // page_size)
-    num_pages = bs * pps + 1
+    num_pages = bs * pps + 1 + spare_pages
     num_slots = num_pages * page_size
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (bs, hq, d), jnp.bfloat16)
@@ -192,6 +192,9 @@ def main():
                    choices=["rand", "seq", "rr"])
     p.add_argument("--int8-dots", action="store_true")
     p.add_argument("--ppc", type=int, default=0)
+    p.add_argument("--spare-pages", type=int, default=0,
+                   help="extra never-read pages: detects per-iteration cache "
+                        "copies in the timing harness (time must not grow)")
     p.add_argument("--skip-prefill", action="store_true")
     args = p.parse_args()
     print(f"device: {jax.devices()[0]}")
@@ -205,7 +208,8 @@ def main():
                                         dtype=kv_dtype,
                                         page_order=args.page_order,
                                         int8_dots=args.int8_dots,
-                                        ppc=args.ppc)
+                                        ppc=args.ppc,
+                                        spare_pages=args.spare_pages)
                 print(f"page={page:<4d} bs={bs:<4d} ctx={ctx:<6d} "
                       f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s KV-read",
                       flush=True)

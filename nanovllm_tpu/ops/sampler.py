@@ -13,10 +13,14 @@ import jax.numpy as jnp
 
 
 def sample(logits, temperatures, key):
-    """logits: f32[S, V]; temperatures: f32[S]; returns i32[S]."""
+    """logits: f32[S, V]; temperatures: f32[S]; returns i32[S].
+
+    One fused argmax serves both modes: greedy rows (T == 0) zero out their
+    Gumbel noise, so argmax(logits/max(T, eps) + 0) == argmax(logits) — a
+    second [S, V] argmax pass would double the read of a 151k-wide logits
+    buffer per decode step for nothing."""
     logits = logits.astype(jnp.float32)
-    greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)
     temp = jnp.maximum(temperatures, 1e-6)[:, None]
     gumbel = jax.random.gumbel(key, logits.shape, dtype=jnp.float32)
-    sampled = jnp.argmax(logits / temp + gumbel, axis=-1).astype(jnp.int32)
-    return jnp.where(temperatures == 0.0, greedy, sampled)
+    noise = jnp.where((temperatures == 0.0)[:, None], 0.0, gumbel)
+    return jnp.argmax(logits / temp + noise, axis=-1).astype(jnp.int32)
