@@ -43,10 +43,12 @@ def main():
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
     p.add_argument("--kv-cache-dtype", default="int8",
                    choices=["auto", "bfloat16", "int8"])
-    p.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
-    # 64 fused steps halve per-dispatch overhead vs 32 (the scheduler's pow2
-    # clamp keeps the tail dispatch in the same jit bucket).
-    p.add_argument("--decode-steps", type=int, default=64)
+    # Weight-only INT8 (per-output-channel absmax, dequant fused into the
+    # matmuls) halves weight+lm_head HBM reads per decode step; accuracy is
+    # gated by tests/test_model_parity.py's dequant-parity check.
+    p.add_argument("--quant", default="int8", choices=["none", "int8", "int4"])
+    # 128 fused steps amortize the per-dispatch host round-trip to ~0.4 ms.
+    p.add_argument("--decode-steps", type=int, default=128)
     p.add_argument("--max-model-len", type=int, default=None)
     args = p.parse_args()
 

@@ -157,15 +157,25 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     whole chunk are contiguous at kv_slot[:chunk], V at kv_slot[chunk:], so
     scores and probs·V are ONE MXU dot each over the full chunk — the
     per-page dot/concat chains were the kernel's measured per-chunk fixed
-    cost. Only the tiny [Hq, RPP] scale-selector dots stay per-page (their
-    output lanes are per-page token windows)."""
+    cost. Only a tiny [2*Hq, RPP] scale-selector dot stays per-page (its
+    output lanes are per-page token windows); it produces the score-scale
+    and prob-scale rows together."""
     m, l, acc = carry
     chunk = ppc * ps
     int8_dots = q_bd.dtype == jnp.int8
     k_chunk = kv_slot[:chunk]
     v_chunk = kv_slot[chunk:2 * chunk]
     if quantized:
-        s_pages = [s_slot[i * rpp:(i + 1) * rpp] for i in range(ppc)]
+        # One [2*Hq, RPP] selector dot per page yields BOTH scale rows
+        # (score rows on top, prob rows below) — half the tiny-dot count.
+        sel_kv = jnp.concatenate([sel_k, sel_v], axis=0)
+        hq = sel_k.shape[0]
+        skv_parts = [lax.dot_general(
+            sel_kv, s_slot[i * rpp:(i + 1) * rpp],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) for i in range(ppc)]
+        skv = (skv_parts[0] if ppc == 1
+               else jnp.concatenate(skv_parts, axis=1))   # [2*Hq, chunk]
     if int8_dots:
         # q_bd is per-row absmax-quantized int8 (sel_k carries its scale ×
         # the softmax scale): the dots run on the MXU's int8 path (2× the
@@ -179,11 +189,7 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale
     if quantized:
-        sc_parts = [lax.dot_general(
-            sel_k, sp, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) for sp in s_pages]
-        s = s * (sc_parts[0] if ppc == 1
-                 else jnp.concatenate(sc_parts, axis=1))
+        s = s * skv[:hq]
     s = jnp.where(mask, s, MASK_VALUE)
     m_curr = jnp.max(s, axis=-1, keepdims=True)
     m_next = jnp.maximum(m, m_curr)
@@ -191,11 +197,7 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     p = jnp.exp(s - m_next)
     l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
     if quantized:
-        vc_parts = [lax.dot_general(
-            sel_v, sp, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) for sp in s_pages]
-        p = p * (vc_parts[0] if ppc == 1
-                 else jnp.concatenate(vc_parts, axis=1))
+        p = p * skv[hq:]
     if int8_dots:
         # p ∈ [0, max]: per-row absmax int8 quantization of the probs (the
         # V-side scales are already folded into p above).

@@ -18,12 +18,13 @@ from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.sampling_params import SamplingParams
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+QTILE = int(sys.argv[2]) if len(sys.argv) > 2 else 128
 NSEQ, LEN = 8, 1024
 kvd = "bfloat16" if mode == "noquant" else "int8"
 cfg = Config(model="", model_config=QWEN3_0_6B, max_model_len=2048,
              max_num_batched_tokens=8192, attn_backend="pallas",
              load_format="random", decode_steps=32, kv_cache_dtype=kvd,
-             max_num_seqs=64, kvcache_block_size=128)
+             max_num_seqs=64, kvcache_block_size=128, prefill_q_tile=QTILE)
 
 if mode == "host":
     from nanovllm_tpu.engine.batch import build_prefill_meta
@@ -69,8 +70,8 @@ for it in range(6):
         best = min(best, dt)
     for s in seqs:
         bm.deallocate(s)
-print(f"prefill dispatch ({mode}, {NSEQ}x{LEN}): {best*1e3:.1f} ms "
-      f"({NSEQ*LEN/best:.0f} tok/s)")
+print(f"prefill dispatch ({mode}, {NSEQ}x{LEN}, q_tile={QTILE}): "
+      f"{best*1e3:.1f} ms ({NSEQ*LEN/best:.0f} tok/s)")
 
 if os.environ.get("PROFILE"):
     import jax
