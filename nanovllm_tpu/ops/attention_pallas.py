@@ -8,13 +8,22 @@ streaming instead of scalar per-token loads).
 
 The cache is the 2-D row layout of ops/kv_cache.py: one page is ONE
 contiguous [2*page_size, Hkv*D] block carrying every KV head's K rows then V
-rows, so a page costs ONE data DMA (+1 [RPP, page_size] scale-block DMA when
-INT8) — DMA issue rate was the measured decode bottleneck, not HBM
-bandwidth. Per-head tiles are static lane slices (no minor-dim reshapes, no
-in-VMEM transposes of the stream). Decode computes all heads per page in a
-single MXU dot via a block-diagonal Q ([Hq, Hkv*D], row i nonzero only in
-head i//g's lane block); prefill q blocks are large, so per-head dots stay
-(already MXU-sized, no 8x wasted FLOPs).
+rows. Both kernels stream pages in multi-page CHUNKS (default 512 tokens)
+into a K/V-SPLIT VMEM buffer — page i's K half at rows [i*ps, (i+1)*ps), V
+half at [chunk + i*ps, ...) — so a chunk's scores are computed by ONE MXU
+dot per contraction instead of per-page dot/concat chains (per-chunk fixed
+cost, not HBM bandwidth, was the measured limit at every step of this
+design's evolution; see git history for the scalar-loop, head-major,
+interleaved-chunk and 1-ahead-prefetch predecessors and their measured
+costs). Page copies past a range's last needed page are predicated off.
+Decode pipelines the chunk stream ACROSS sequences with an SMEM issue
+cursor running NBUF-1 = 3 chunks ahead of compute, hiding per-DMA latency
+that a 1-ahead prefetch exposed. Per-head tiles are static lane slices (no
+minor-dim reshapes, no in-VMEM transposes of the stream). Decode computes
+all heads per chunk in a single MXU dot via a block-diagonal Q
+([Hq, Hkv*D], row i nonzero only in head i//g's lane block); prefill q
+blocks are large, so per-head dots stay (already MXU-sized, no 8x wasted
+FLOPs).
 
 INT8 scales live in TRANSPOSED per-page blocks (tokens along lanes, K rows
 then V rows — ops/kv_cache.py): reads fold them into scores/probs with tiny
@@ -50,55 +59,27 @@ from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, quantize_kv_blocks,
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
-def _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size, rpp, li,
-                     num_pages, kv_buf, s_buf, sems, quantized):
-    """Per-chunk page-copy descriptors (shared by both kernels): a page's
-    ENTIRE K+V is one contiguous [2*page_size, Hkv*D] run (V rows follow the
-    K rows — see ops/kv_cache.py), so each page costs ONE data DMA plus one
-    [rpp, page_size] transposed scale-block DMA when INT8. `si` is per call
-    so a grid step can prefetch the NEXT sequence's first chunk."""
-    rows = 2 * page_size
-
-    def chunk_copies(si, chunk_idx, slot):
-        copies = []
-        for i in range(ppc):
-            page = bt_ref[si, chunk_idx * ppc + i]
-            src = pl.ds((li * num_pages + page) * rows, rows)
-            dst = pl.ds(i * rows, rows)
-            copies.append(pltpu.make_async_copy(
-                data_ref.at[src], kv_buf.at[slot, dst], sems.at[slot]))
-            if quantized:
-                copies.append(pltpu.make_async_copy(
-                    scales_ref.at[pl.ds((li * num_pages + page) * rpp, rpp)],
-                    s_buf.at[slot, pl.ds(i * rpp, rpp)],
-                    sems.at[slot]))
-        return copies
-
-    return chunk_copies
-
-
-def _mk_decode_chunk_copies(data_ref, scales_ref, bt_ref, ctx_ref, ppc,
-                            page_size, rpp, li, num_pages, pps, kv_buf,
-                            s_buf, sems, quantized):
-    """Decode-side per-chunk page-copy descriptors with a K/V-SPLIT VMEM
-    destination: page i's K rows land at kv_buf[slot, i*ps:(i+1)*ps] and its
-    V rows at kv_buf[slot, chunk + i*ps : ...], so the whole chunk's scores
-    are ONE [Hq, Hkv*D] x [chunk, Hkv*D]^T MXU dot (and probs x V one more)
-    instead of per-page dots — the kernel's measured limit is per-chunk
-    fixed cost, not HBM bandwidth. Each copy carries a PREDICATE (page
-    actually inside the sequence's context): the caller starts/waits it
-    under pl.when, so the last chunk of a sequence skips pages past
-    ceil(ctx/ps) entirely (no masked-read DMA waste). Predicates are pure
-    functions of (si, chunk_idx, i), so starts and waits always match."""
+def _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size,
+                           rpp, li, num_pages, pps, kv_buf, s_buf, sems,
+                           quantized):
+    """Per-chunk page-copy descriptors with a K/V-SPLIT VMEM destination:
+    page i's K rows land at kv_buf[slot, i*ps:(i+1)*ps] and its V rows at
+    kv_buf[slot, chunk + i*ps : ...], so a chunk's scores need ONE MXU dot
+    per contraction (and probs x V one more) instead of per-page dot/concat
+    chains — the kernels' measured limit is per-chunk fixed cost, not HBM
+    bandwidth. Each copy carries a PREDICATE (page start < `limit` tokens):
+    the caller starts/waits it under pl.when, so a range's last chunk skips
+    pages past ceil(limit/ps) entirely (no masked-read DMA waste).
+    Predicates are pure functions of (si, chunk_idx, i, limit), so starts
+    and waits always match."""
     rows = page_size
     chunk = ppc * page_size
 
-    def chunk_copies(si, chunk_idx, slot):
-        ctx = ctx_ref[si]
+    def chunk_copies(si, chunk_idx, slot, limit):
         copies = []
         for i in range(ppc):
             pg_idx = chunk_idx * ppc + i
-            pred = pg_idx * page_size < ctx
+            pred = pg_idx * page_size < limit
             page = bt_ref[si, jnp.minimum(pg_idx, pps - 1)]
             src = (li * num_pages + page) * 2 * page_size
             copies.append((pred, pltpu.make_async_copy(
@@ -116,20 +97,6 @@ def _mk_decode_chunk_copies(data_ref, scales_ref, bt_ref, ctx_ref, ppc,
         return copies
 
     return chunk_copies
-
-
-def _page_slices(kv_slot, s_slot, ppc, ps, rpp, quantized):
-    """Static per-page K/V (and scale-block) views of a chunk buffer: page
-    i's K rows sit at [i*2*ps, i*2*ps+ps), its V rows right after; its
-    transposed scale block at s_slot[i*rpp:(i+1)*rpp] (row h = K scales of
-    head h across the page's tokens, row Hkv+h = V scales)."""
-    k_pages = [kv_slot[i * 2 * ps:i * 2 * ps + ps] for i in range(ppc)]
-    v_pages = [kv_slot[i * 2 * ps + ps:(i + 1) * 2 * ps] for i in range(ppc)]
-    if quantized:
-        s_pages = [s_slot[i * rpp:(i + 1) * rpp] for i in range(ppc)]
-    else:
-        s_pages = [None] * ppc
-    return k_pages, v_pages, s_pages
 
 
 def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
@@ -153,7 +120,7 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     production path — int8→bf16 casts are exact, f32 accumulation; f32 only
     when both q and the cache are f32).
 
-    The chunk buffer is K/V-SPLIT (_mk_decode_chunk_copies): K rows of the
+    The chunk buffer is K/V-SPLIT (_mk_split_chunk_copies): K rows of the
     whole chunk are contiguous at kv_slot[:chunk], V at kv_slot[chunk:], so
     scores and probs·V are ONE MXU dot each over the full chunk — the
     per-page dot/concat chains were the kernel's measured per-chunk fixed
@@ -221,25 +188,27 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
     unrolled (prefill: q blocks are large, so per-head dots are already
     MXU-sized). carry: tuple over heads of (m, l, acc); q_heads: per-head
     [rows, d] in dot_dtype (unscaled — scale applies to scores in f32);
-    kv_slot/s_slot: page-interleaved chunk buffers (see _page_slices);
+    kv_slot/s_slot: K/V-SPLIT chunk buffers (_mk_split_chunk_copies): the
+    chunk's K rows contiguous at kv_slot[:chunk], V at kv_slot[chunk:], so
+    each head's scores and probs·V are ONE dot over the full chunk (the
+    per-page dot/concat chains were the measured per-chunk fixed cost);
     mask: [rows, chunk] bool. INT8 scales fold into scores/probs as
     [1, chunk] broadcast rows sliced from the transposed scale blocks
     (token-major lanes) — cheaper than dequantizing the K/V tiles."""
-    k_pages, v_pages, s_pages = _page_slices(
-        kv_slot, s_slot, ppc, ps, rpp, quantized)
+    chunk = ppc * ps
+    k_chunk = kv_slot[:chunk]
+    v_chunk = kv_slot[chunk:2 * chunk]
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
         hs = slice(h * d, (h + 1) * d)
-        s_parts = [lax.dot_general(
-            q_heads[h], kp[:, hs].astype(dot_dtype),
+        s = lax.dot_general(
+            q_heads[h], k_chunk[:, hs].astype(dot_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) for kp in k_pages]
-        s = (s_parts[0] if ppc == 1
-             else jnp.concatenate(s_parts, axis=1)) * scale  # [rows, chunk]
+            preferred_element_type=jnp.float32) * scale      # [rows, chunk]
         if quantized:
             krow = jnp.concatenate(
-                [sp[h:h + 1, :] for sp in s_pages],
+                [s_slot[i * rpp + h:i * rpp + h + 1, :] for i in range(ppc)],
                 axis=1).astype(jnp.float32)                  # [1, chunk]
             s = s * krow
         s = jnp.where(mask, s, MASK_VALUE)
@@ -250,14 +219,13 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
             vrow = jnp.concatenate(
-                [sp[hkv + h:hkv + h + 1, :] for sp in s_pages],
-                axis=1).astype(jnp.float32)
+                [s_slot[i * rpp + hkv + h:i * rpp + hkv + h + 1, :]
+                 for i in range(ppc)], axis=1).astype(jnp.float32)
             p = p * vrow
-        o_curr = sum(lax.dot_general(
-            p[:, i * ps:(i + 1) * ps].astype(dot_dtype),
-            v_pages[i][:, hs].astype(dot_dtype),
+        o_curr = lax.dot_general(
+            p.astype(dot_dtype), v_chunk[:, hs].astype(dot_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) for i in range(ppc))
+            preferred_element_type=jnp.float32)
         out.append((m_next, l_next, acc * alpha + o_curr))
     return tuple(out)
 
@@ -295,17 +263,19 @@ def _decode_kernel(
     scales_ref,     # HBM [(L*num_pages+1)*RPP, ps] bf16 (aliased; final RPP
     #                 rows = pad-seq write-back dump block)
     # scratch
-    kv_buf,         # VMEM [2, 2*chunk, Hkv*D], K/V-SPLIT: the chunk's K rows
-    #                 at [:chunk] (page i at i*ps), V rows at [chunk:]
-    s_buf,          # VMEM [2, ppc*RPP, ps] bf16 transposed scale blocks
+    kv_buf,         # VMEM [NBUF, 2*chunk, Hkv*D], K/V-SPLIT: the chunk's K
+    #                 rows at [:chunk] (page i at i*ps), V rows at [chunk:]
+    s_buf,          # VMEM [NBUF, ppc*RPP, ps] bf16 transposed scale blocks
     wb_s,           # VMEM [RPP, ps] bf16: merged scale block staged for
     #                 write-back
     wb_kv,          # VMEM [2*win, Hkv*D] cache dtype: merged K window (rows
     #                 [0,win)) and V window (rows [win,2win)) staged
-    sems,           # DMA sems [2]
+    sems,           # DMA sems [NBUF]
     wbsem,          # DMA sem for the write-back chain
-    gctr,           # SMEM i32[2]: [0] global chunk counter (persists across
-    #                 the grid), [1] write-back-outstanding flag
+    gctr,           # SMEM i32[5] persisting across the grid: [0] computed-
+    #                 chunk counter, [1] write-back-outstanding flag,
+    #                 [2]/[3] issue cursor (seq, chunk), [4] issued-chunk
+    #                 counter
     *,
     scale: float,
     page_size: int,
@@ -316,6 +286,7 @@ def _decode_kernel(
     g: int,
     d: int,
     num_slots: int,
+    nbuf: int,
     quantized: bool,
     dot_dtype,
 ):
@@ -339,33 +310,44 @@ def _decode_kernel(
     num_pages = num_slots // page_size
     ps = page_size
 
-    chunk_copies = _mk_decode_chunk_copies(
-        data_ref, scales_ref, bt_ref, ctx_ref, ppc, page_size, rpp, li,
+    chunk_copies = _mk_split_chunk_copies(
+        data_ref, scales_ref, bt_ref, ppc, page_size, rpp, li,
         num_pages, bt_ref.shape[1], kv_buf, s_buf, sems, quantized)
     s_total = ctx_ref.shape[0]
 
-    # Cross-sequence pipelining: a persistent SMEM counter tracks the
-    # global chunk index (chunks laid out seq-major in grid order);
-    # buffer slot = global index % 2. While computing its last chunk, a
-    # sequence prefetches the NEXT sequence's first chunk, so per-seq
-    # DMA latency is hidden (pad seqs have ctx 0 and sit at the END of
-    # the batch — build_decode_meta's contract).
+    # Cross-sequence pipelining, depth NBUF-1: chunks are consumed in one
+    # GLOBAL seq-major order (pads contribute none); an SMEM issue cursor
+    # walks the same order NBUF-1 chunks ahead of compute, so every wait
+    # finds its DMA issued several chunks of compute earlier — a 1-ahead
+    # prefetch left each chunk exposed to DMA latency whenever transfer
+    # time exceeded one chunk's compute. Buffer slot = counter % NBUF on
+    # both sides (the streams count identically).
+    def issue_next():
+        def skip(st):
+            isi, _ = st
+            nc = lax.div(ctx_ref[jnp.minimum(isi, s_total - 1)] + chunk - 1,
+                         chunk)
+            return (isi < s_total) & (st[1] >= nc)
+
+        isi, ici = lax.while_loop(skip, lambda st: (st[0] + 1, 0),
+                                  (gctr[2], gctr[3]))
+        live = isi < s_total
+        isafe = jnp.minimum(isi, s_total - 1)
+        for pred, c in chunk_copies(isafe, ici, lax.rem(gctr[4], nbuf),
+                                    ctx_ref[isafe]):
+            @pl.when(live & pred)
+            def _():
+                c.start()
+        gctr[2] = jnp.minimum(isi, s_total)
+        gctr[3] = jnp.where(live, ici + 1, 0)
+        gctr[4] = gctr[4] + jnp.where(live, 1, 0)
+
     @pl.when(si == 0)
     def _():
-        gctr[0] = 0
-        gctr[1] = 0
-
-    # Chunk 0 is normally prefetched by the previous REAL sequence's last
-    # chunk; self-start when there is no such predecessor (grid start, or a
-    # pad immediately before — pads sit at the END in production decode
-    # meta, but the kernel stays correct for any placement).
-    prev_pad = ctx_ref[jnp.maximum(si - 1, 0)] == 0
-
-    self_start = (n_chunks > 0) & ((si == 0) | prev_pad)
-    for pred, c in chunk_copies(si, 0, lax.rem(gctr[0], 2)):
-        @pl.when(self_start & pred)
-        def _():
-            c.start()
+        for i in range(5):
+            gctr[i] = 0
+        for _ in range(nbuf - 1):
+            issue_next()
 
     hq = hkv * g
     # Block-diagonal Q and the scale selectors are prebuilt outside the
@@ -442,24 +424,11 @@ def _decode_kernel(
 
     def body(ci, carry):
         gi = gctr[0]                      # global index of (si, ci)
-        slot_buf = lax.rem(gi, 2)
-        nslot = lax.rem(gi + 1, 2)
+        slot_buf = lax.rem(gi, nbuf)
 
-        have_next = ci + 1 < n_chunks
-        for pred, c in chunk_copies(si, ci + 1, nslot):
-            @pl.when(have_next & pred)
-            def _():
-                c.start()
+        issue_next()                      # keep the pipeline NBUF-1 deep
 
-        nsi = jnp.minimum(si + 1, s_total - 1)
-        next_seq_real = ((ci + 1 == n_chunks) & (si + 1 < s_total)
-                         & (ctx_ref[nsi] > 0))
-        for pred, c in chunk_copies(nsi, 0, nslot):
-            @pl.when(next_seq_real & pred)
-            def _():
-                c.start()
-
-        for pred, c in chunk_copies(si, ci, slot_buf):
+        for pred, c in chunk_copies(si, ci, slot_buf, ctx):
             @pl.when(pred)
             def _():
                 c.wait()
@@ -606,9 +575,10 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     # Aligned write-back window: Mosaic DMA row slices must start at a
     # multiple of the dtype's sublane tile.
     win = {1: 32, 2: 16, 4: 8}[jnp.dtype(data.dtype).itemsize]
+    nbuf = 4  # pipeline depth: see _decode_kernel's issue cursor
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
-        win=win, hkv=hkv, g=g, d=d, num_slots=num_slots,
+        win=win, hkv=hkv, g=g, d=d, num_slots=num_slots, nbuf=nbuf,
         quantized=quantized, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -632,13 +602,13 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
-            pltpu.VMEM((2, ppc * rpp, ps), SCALE_DTYPE),
+            pltpu.VMEM((nbuf, 2 * chunk, hkv * d), data.dtype),
+            pltpu.VMEM((nbuf, ppc * rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((2 * win, hkv * d), data.dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((5,), jnp.int32),
         ],
     )
     layer_arr = jnp.reshape(jnp.asarray(layer_i, jnp.int32), (1,))
@@ -814,15 +784,18 @@ def _prefill_kernel(
         def _():
             c.start()
 
-    chunk_copies = _mk_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
-                                    page_size, rpp, li, num_pages, kv_buf,
-                                    s_buf, sems, quantized)
+    chunk_copies = _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
+                                          page_size, rpp, li, num_pages,
+                                          bt_ref.shape[1], kv_buf, s_buf,
+                                          sems, quantized)
+    lim = jnp.where(is_real, pos0, 0)
 
     # Chunk 0 is prefetched by the previous grid step (after ITS write
     # wait); only the very first grid step issues its own.
-    @pl.when((ti == 0) & (n_pre > 0))
-    def _():
-        for c in chunk_copies(si, 0, 0):
+    first = (ti == 0) & (n_pre > 0)
+    for pred, c in chunk_copies(si, 0, 0, lim):
+        @pl.when(first & pred)
+        def _():
             c.start()
 
     rows = tq * g
@@ -848,18 +821,35 @@ def _prefill_kernel(
     def body(ci, carry):
         slot = lax.rem(ci, 2)
 
-        @pl.when(ci + 1 < n_pre)
-        def _():
-            for c in chunk_copies(si, ci + 1, lax.rem(ci + 1, 2)):
+        have_next = ci + 1 < n_pre
+        for pred, c in chunk_copies(si, ci + 1, lax.rem(ci + 1, 2), lim):
+            @pl.when(have_next & pred)
+            def _():
                 c.start()
 
-        for c in chunk_copies(si, ci, slot):
-            c.wait()
+        for pred, c in chunk_copies(si, ci, slot, lim):
+            @pl.when(pred)
+            def _():
+                c.wait()
+
+        # Pages predicated off (at/past pos0 — the tile's own write region,
+        # never read: the diagonal block covers it from VMEM inputs) leave
+        # stale VMEM; zero their V region and scale block so p=0 lanes never
+        # multiply NaN (see the decode kernel's matching note).
+        n_need = lax.div(lim + ps - 1, ps)
+        for i in range(ppc):
+            @pl.when(ci * ppc + i >= n_need)
+            def _():
+                kv_buf[slot, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
+                    (ps, hkv * d), kv_buf.dtype)
+                if quantized:
+                    s_buf[slot, pl.ds(i * rpp, rpp), :] = jnp.zeros(
+                        (rpp, ps), s_buf.dtype)
+
         kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (rows, chunk),
                                                    1)
-        # The last prefix chunk's tail (kv >= pos0) is the tile's own
-        # freshly-written region: masked out here (the diagonal covered
-        # it), which also makes the write/read DMA race harmless.
+        # kv >= pos0 is this tile's own freshly-written region: masked out
+        # (the diagonal covered it); its pages are not even streamed.
         mask = kv_pos < pos0
         return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
                                   s_buf[slot] if quantized else None, mask,
@@ -877,10 +867,10 @@ def _prefill_kernel(
             c.wait()
     nti = jnp.minimum(ti + 1, nt - 1)
     next_needs = (ti + 1 < nt) & (tile_pos0_ref[nti] > 0)
-
-    @pl.when(next_needs)
-    def _():
-        for c in chunk_copies(tile_seq_ref[nti], 0, 0):
+    nlim = jnp.where(next_needs, tile_pos0_ref[nti], 0)
+    for pred, c in chunk_copies(tile_seq_ref[nti], 0, 0, nlim):
+        @pl.when(next_needs & pred)
+        def _():
             c.start()
 
     for h in range(hkv):
