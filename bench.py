@@ -42,7 +42,7 @@ def main():
     p.add_argument("--output-len", type=int, default=1024)
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
     p.add_argument("--kv-cache-dtype", default="int8",
-                   choices=["auto", "bfloat16", "int8"])
+                   choices=["auto", "bfloat16", "int8", "int4"])
     # Weight-only INT8 (per-output-channel absmax, dequant fused into the
     # matmuls) halves weight+lm_head HBM reads per decode step; accuracy is
     # gated by tests/test_model_parity.py's dequant-parity check.
@@ -110,6 +110,8 @@ def main():
     tag = args.attn_backend
     if args.kv_cache_dtype == "int8":
         tag += "+kv8"
+    elif args.kv_cache_dtype == "int4":
+        tag += "+kv4"
     if args.quant != "none":
         tag += f"+w{args.quant[3:]}"
     import sys

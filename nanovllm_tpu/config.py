@@ -120,7 +120,7 @@ class Config:
     # plus multi-step scheduling. 1 = step-per-dispatch.
     decode_steps: int = 32
     dtype: str = "bfloat16"
-    kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8
+    kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8 | int4
     quant: str = "none"            # none | int8 | int4 (weight-only)
     # "random" initializes weights from a PRNG instead of loading safetensors
     # (lets benches run without model files on disk).
@@ -155,8 +155,10 @@ class Config:
         assert 1 <= self.tensor_parallel_size <= 64
         assert 1 <= self.decode_steps <= 512
         assert self.quant in ("none", "int8", "int4")
-        assert self.kv_cache_dtype in ("auto", "bfloat16", "float32", "int8")
-        assert self.kv_cache_dtype != "int8" or self.kvcache_block_size % 128 == 0, (
+        assert self.kv_cache_dtype in ("auto", "bfloat16", "float32",
+                                       "int8", "int4")
+        assert self.kv_cache_dtype not in ("int8", "int4") \
+            or self.kvcache_block_size % 128 == 0, (
             "int8 KV cache requires kvcache_block_size % 128 == 0 "
             "(page == whole scale rows)")
         if self.model_config is None:

@@ -82,7 +82,16 @@ class ModelRunner:
         self.dtype = jnp.bfloat16 if config.dtype == "bfloat16" else jnp.float32
         kvd = config.kv_cache_dtype
         self.kv_dtype = self.dtype if kvd == "auto" else (
-            jnp.int8 if kvd == "int8" else jnp.dtype(kvd))
+            jnp.int8 if kvd in ("int8", "int4") else jnp.dtype(kvd))
+        # Nibble-packed int4 halves the data lane width; the scale
+        # machinery is the int8 one (see ops/kv_cache.py).
+        self.kv_bits = 4 if kvd == "int4" else 8
+        if self.kv_bits == 4 and config.tensor_parallel_size > 1:
+            # Head-PAIR packing: a lane shard must own whole pairs.
+            assert (self.mc.num_key_value_heads
+                    // config.tensor_parallel_size) % 2 == 0, (
+                "int4 KV with tensor parallelism needs an even number of "
+                "KV heads per shard (head-pair nibble packing)")
         self._step_fns: dict = {}
         # RBG keys: the sampler draws |V| Gumbels per sequence per step;
         # threefry costs ~20 VPU ops/element (~0.2 ms/step at 64x151936),
@@ -125,6 +134,8 @@ class ModelRunner:
         ps = self.config.kvcache_block_size
         itemsize = jnp.dtype(self.kv_dtype).itemsize
         per_page = 2 * ps * mc.num_key_value_heads * mc.head_dim * itemsize
+        if self.kv_bits == 4:
+            per_page //= 2
         if self.kv_dtype == jnp.int8:
             # One transposed bf16 [RPP, page_size] scale block per page per
             # TP shard (ops/kv_cache.py) — 1.6% on top of the int8 payload.
@@ -210,7 +221,8 @@ class ModelRunner:
         cache = create_kv_cache(
             mc.num_hidden_layers, mc.num_key_value_heads,
             cfg.num_kvcache_blocks, cfg.kvcache_block_size, mc.head_dim,
-            self.kv_dtype, num_shards=self._scale_shards())
+            self.kv_dtype, num_shards=self._scale_shards(),
+            kv_bits=self.kv_bits if self.kv_bits == 4 else 0)
         shardings = kv_cache_sharding(self.mesh)
         if cache["scales"].shape[0] == 1:  # replicate the dummy
             shardings = dict(shardings,

@@ -54,7 +54,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, quantize_kv_blocks,
                                         quantize_kv_rows,
-                                        scale_rows_per_page)
+                                        scale_rows_per_page, unpack_int4)
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
@@ -100,7 +100,8 @@ def _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size,
 
 
 def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
-                         scale, ppc, ps, rpp, quantized, dot_dtype):
+                         scale, ppc, ps, rpp, d, quantized, int4,
+                         dot_dtype):
     """One online-softmax update over a KV chunk for decode, all heads in one
     MXU dot per page. q_bd: [Hq, Hkv*D] block-diagonal (row i nonzero only in
     its kv-head's lane block) so a single contraction over Hkv*D computes
@@ -132,6 +133,9 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     int8_dots = q_bd.dtype == jnp.int8
     k_chunk = kv_slot[:chunk]
     v_chunk = kv_slot[chunk:2 * chunk]
+    if int4:
+        k_chunk = unpack_int4(k_chunk, d)
+        v_chunk = unpack_int4(v_chunk, d)
     if quantized:
         # One [2*Hq, RPP] selector dot per page yields BOTH scale rows
         # (score rows on top, prob rows below) — half the tiny-dot count.
@@ -183,7 +187,7 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
 
 
 def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
-                       hkv, d, quantized, dot_dtype, scale):
+                       hkv, d, quantized, int4, dot_dtype, scale):
     """One online-softmax update over a KV chunk, per-head statically
     unrolled (prefill: q blocks are large, so per-head dots are already
     MXU-sized). carry: tuple over heads of (m, l, acc); q_heads: per-head
@@ -198,6 +202,9 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
     chunk = ppc * ps
     k_chunk = kv_slot[:chunk]
     v_chunk = kv_slot[chunk:2 * chunk]
+    if int4:
+        k_chunk = unpack_int4(k_chunk, d)
+        v_chunk = unpack_int4(v_chunk, d)
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
@@ -288,6 +295,7 @@ def _decode_kernel(
     num_slots: int,
     nbuf: int,
     quantized: bool,
+    int4: bool,
     dot_dtype,
 ):
     """The kernel owns ALL KV writes for the step (XLA's row scatter lowers
@@ -395,20 +403,23 @@ def _decode_kernel(
         def _():
             for c in wb_copies():
                 c.wait()
-        # K/V rows into the aligned [win, Hkv*D] windows of the streamed
+        # K/V rows into the aligned [win, LW] windows of the streamed
         # chunk copy (this step's attention reads the merged values). The
         # chunk buffer is K/V-split: page pic's K rows at [pic*ps, +ps),
-        # its V rows at [chunk + pic*ps, +ps).
-        sub = lax.broadcasted_iota(jnp.int32, (win, hkv * d), 0)
+        # its V rows at [chunk + pic*ps, +ps). LW = packed lane width
+        # (Hkv*D, or Hkv*D/2 for the nibble-packed INT4 cache — the merge
+        # operates on PACKED rows; unpacking happens only at compute).
+        lw = hkv * d // (2 if int4 else 1)
+        sub = lax.broadcasted_iota(jnp.int32, (win, lw), 0)
         woff = lax.div(off, win)
         kbase = (pic * (ps // win) + woff) * win
         vbase = chunk + kbase
         mrow = sub == off - woff * win
-        wk = jnp.where(mrow, jnp.broadcast_to(kr_ref[0], (win, hkv * d)),
+        wk = jnp.where(mrow, jnp.broadcast_to(kr_ref[0], (win, lw)),
                        kv_buf[slot_buf, pl.ds(kbase, win), :])
         kv_buf[slot_buf, pl.ds(kbase, win), :] = wk
         wb_kv[pl.ds(0, win), :] = wk
-        wv = jnp.where(mrow, jnp.broadcast_to(vr_ref[0], (win, hkv * d)),
+        wv = jnp.where(mrow, jnp.broadcast_to(vr_ref[0], (win, lw)),
                        kv_buf[slot_buf, pl.ds(vbase, win), :])
         kv_buf[slot_buf, pl.ds(vbase, win), :] = wv
         wb_kv[pl.ds(win, win), :] = wv
@@ -444,7 +455,7 @@ def _decode_kernel(
             @pl.when(ci * ppc + i >= n_need)
             def _():
                 kv_buf[slot_buf, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
-                    (ps, hkv * d), kv_buf.dtype)
+                    (ps, kv_buf.shape[2]), kv_buf.dtype)
                 if quantized:
                     s_buf[slot_buf, pl.ds(i * rpp, rpp), :] = jnp.zeros(
                         (rpp, ps), s_buf.dtype)
@@ -457,7 +468,7 @@ def _decode_kernel(
         carry = _decode_chunk_update(
             carry, q_bd, sel_k, sel_v, kv_buf[slot_buf],
             s_buf[slot_buf] if quantized else None, mask, scale, ppc,
-            page_size, rpp, quantized, dot_dtype)
+            page_size, rpp, d, quantized, int4, dot_dtype)
         gctr[0] = gi + 1
         return carry
 
@@ -481,7 +492,7 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
-                     "pages_per_chunk", "int8_dots", "interpret"))
+                     "pages_per_chunk", "int8_dots", "kv_bits", "interpret"))
 def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            scales, layer_i, context_lens, block_tables,
                            slot_mapping, *, scale: float, page_size: int,
@@ -492,6 +503,7 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            # (the kernel is not MXU-rate-bound), so accuracy
                            # wins by default; kept for other TPU generations.
                            int8_dots: bool = False,
+                           kv_bits: int = 8,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized
     when the cache is int8) — the KERNEL writes them into the cache (merge
@@ -504,7 +516,10 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     num_slots for pads/no-write). Returns (out [S, Hq, D], data, scales) —
     cache arrays aliased in place."""
     s, hq, d = q.shape
-    hkv = k_rows.shape[1] // d
+    int4 = kv_bits == 4
+    lwf = 2 if int4 else 1          # packed-lane shrink factor
+    hkv = k_rows.shape[1] * lwf // d
+    lw = hkv * d // lwf
     g = hq // hkv
     quantized = data.dtype == jnp.int8
     rpp = scale_rows_per_page(hkv)
@@ -579,17 +594,17 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
         win=win, hkv=hkv, g=g, d=d, num_slots=num_slots, nbuf=nbuf,
-        quantized=quantized, dot_dtype=dot_dtype)
+        quantized=quantized, int4=int4, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, hq, hkv * d), lambda si, *_: (si, 0, 0)),
-            # [S, 1, Hkv*D] with a unit middle dim: the (1, Hkv*D) trailing
+            # [S, 1, LW] with a unit middle dim: the (1, LW) trailing
             # block equals the array's trailing dims, satisfying the TPU
             # (8, 128) block-tiling rule.
-            pl.BlockSpec((1, 1, hkv * d), lambda si, *_: (si, 0, 0)),
-            pl.BlockSpec((1, 1, hkv * d), lambda si, *_: (si, 0, 0)),
+            pl.BlockSpec((1, 1, lw), lambda si, *_: (si, 0, 0)),
+            pl.BlockSpec((1, 1, lw), lambda si, *_: (si, 0, 0)),
             scol_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -602,10 +617,10 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 2 * chunk, hkv * d), data.dtype),
+            pltpu.VMEM((nbuf, 2 * chunk, lw), data.dtype),
             pltpu.VMEM((nbuf, ppc * rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((rpp, ps), SCALE_DTYPE),
-            pltpu.VMEM((2 * win, hkv * d), data.dtype),
+            pltpu.VMEM((2 * win, lw), data.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
             pltpu.SemaphoreType.DMA,
             pltpu.SMEM((5,), jnp.int32),
@@ -633,13 +648,16 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
 
 
 def _diag_heads(carry, q_heads, kr, vr, sc_ref, mask, tq, npw, rpp, ps, hkv,
-                d, quantized, dot_dtype, scale):
+                d, quantized, int4, dot_dtype, scale):
     """Online-softmax update over the tile's OWN (diagonal) K/V block,
     sourced from the VMEM input blocks rather than the cache — the tile
     never reads its freshly-written pages back from HBM, so the write DMAs
     need no wait before compute. kr/vr: [tq, Hkv*D] values (cache dtype);
     sc_ref: the tile's [npw*RPP, ps] transposed scale blocks (or None);
     mask: [rows, tq]."""
+    if int4:
+        kr = unpack_int4(kr, d)
+        vr = unpack_int4(vr, d)
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
@@ -712,6 +730,7 @@ def _prefill_kernel(
     d: int,
     num_slots: int,
     quantized: bool,
+    int4: bool,
     dot_dtype,
 ):
     """Per-tile schedule (designed so no DMA wait is ever exposed — the
@@ -816,7 +835,7 @@ def _prefill_kernel(
     dmask = (kv_pos_d <= q_pos_d) & (kv_pos_d < ctx)
     carry = _diag_heads(init, q_heads, kr_ref[...], vr_ref[...],
                         sc_ref if quantized else None, dmask, tq, npw, rpp,
-                        ps, hkv, d, quantized, dot_dtype, scale)
+                        ps, hkv, d, quantized, int4, dot_dtype, scale)
 
     def body(ci, carry):
         slot = lax.rem(ci, 2)
@@ -841,7 +860,7 @@ def _prefill_kernel(
             @pl.when(ci * ppc + i >= n_need)
             def _():
                 kv_buf[slot, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
-                    (ps, hkv * d), kv_buf.dtype)
+                    (ps, kv_buf.shape[2]), kv_buf.dtype)
                 if quantized:
                     s_buf[slot, pl.ds(i * rpp, rpp), :] = jnp.zeros(
                         (rpp, ps), s_buf.dtype)
@@ -854,7 +873,7 @@ def _prefill_kernel(
         return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
                                   s_buf[slot] if quantized else None, mask,
                                   ppc, page_size, rpp, hkv, d, quantized,
-                                  dot_dtype, scale)
+                                  int4, dot_dtype, scale)
 
     carry = lax.fori_loop(0, n_pre, body, carry)
 
@@ -883,13 +902,13 @@ def _prefill_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
-                     "q_tile", "pages_per_chunk", "interpret"))
+                     "q_tile", "pages_per_chunk", "kv_bits", "interpret"))
 def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
                              scales, layer_i, tile_seq, tile_pos0,
                              context_lens, block_tables, *, scale: float,
                              page_size: int, num_slots: int, num_layers: int,
                              q_tile: int, pages_per_chunk: int = 0,
-                             interpret: bool = False):
+                             kv_bits: int = 8, interpret: bool = False):
     """Ragged varlen causal prefill over the paged cache (cached prefixes
     included — the reference's flash_attn_varlen_func with block_table,
     attention.py:93-96, and the Triton prefill kernel capability,
@@ -904,7 +923,10 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
     scales) — cache arrays aliased in place."""
     t, hq, d = q.shape
     quantized = data.dtype == jnp.int8
-    hkv = data.shape[1] // d
+    int4 = kv_bits == 4
+    lwf = 2 if int4 else 1
+    hkv = data.shape[1] * lwf // d
+    lw = hkv * d // lwf
     g = hq // hkv
     rpp = scale_rows_per_page(hkv)
     nt = t // q_tile
@@ -915,10 +937,9 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         assert page_size % q_tile == 0 or q_tile % page_size == 0
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
-        pages_per_chunk = max(1, 256 // page_size)
-    ppc = pages_per_chunk
-    while pages_per_seq % ppc:
-        ppc -= 1
+        # 512-token chunks; page copies past pos0 are predicated off.
+        pages_per_chunk = max(1, 512 // page_size)
+    ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
                                  and data.dtype == jnp.float32)
@@ -931,7 +952,7 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
     kernel = functools.partial(
         _prefill_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
         tq=q_tile, hkv=hkv, g=g, d=d, num_slots=num_slots,
-        quantized=quantized, dot_dtype=dot_dtype)
+        quantized=quantized, int4=int4, dot_dtype=dot_dtype)
     npw = max(1, q_tile // page_size)
     sc_spec = (pl.BlockSpec((npw * rpp, page_size), lambda ti, *_: (ti, 0))
                if quantized else pl.BlockSpec(memory_space=pl.ANY))
@@ -942,8 +963,8 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
             # kr/vr are VMEM blocks: the diagonal compute source and the
             # write-through DMA source (one read of the new rows, not two).
-            pl.BlockSpec((q_tile, hkv * d), lambda ti, *_: (ti, 0)),
-            pl.BlockSpec((q_tile, hkv * d), lambda ti, *_: (ti, 0)),
+            pl.BlockSpec((q_tile, lw), lambda ti, *_: (ti, 0)),
+            pl.BlockSpec((q_tile, lw), lambda ti, *_: (ti, 0)),
             sc_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -954,7 +975,7 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * chunk, hkv * d), data.dtype),
+            pltpu.VMEM((2, 2 * chunk, lw), data.dtype),
             pltpu.VMEM((2, ppc * rpp, page_size), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -995,10 +1016,13 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
     scatter at all)."""
     t, hkv, d = k.shape
     quantized = cache["data"].dtype == jnp.int8
+    # Nibble-packed INT4 cache: the data array's lane width is half Hkv*D.
+    kv_bits = 4 if (quantized
+                    and cache["data"].shape[1] == hkv * d // 2) else 8
     if is_prefill:
         if quantized:
             k_rows, v_rows, kv_scales = quantize_kv_blocks(
-                k, v, page_size, hkv)
+                k, v, page_size, hkv, kv_bits)
         else:
             k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
             v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
@@ -1008,10 +1032,10 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
             cache["scales"], layer_i, meta.tile_seq, meta.tile_pos0,
             meta.context_lens, meta.block_tables, scale=scale,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
-            q_tile=q_tile, interpret=interpret)
+            q_tile=q_tile, kv_bits=kv_bits, interpret=interpret)
         return out, {"data": data, "scales": scales}
     if quantized:
-        k_rows, v_rows, kv_scales = quantize_kv_rows(k, v)
+        k_rows, v_rows, kv_scales = quantize_kv_rows(k, v, kv_bits)
     else:
         k_rows = k.reshape(t, hkv * d).astype(cache["data"].dtype)
         v_rows = v.reshape(t, hkv * d).astype(cache["data"].dtype)
@@ -1020,5 +1044,5 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
         q, k_rows, v_rows, kv_scales, cache["data"], cache["scales"],
         layer_i, meta.context_lens, meta.block_tables, meta.slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=num_layers, interpret=interpret)
+        num_layers=num_layers, kv_bits=kv_bits, interpret=interpret)
     return out, {"data": data, "scales": scales}

@@ -39,7 +39,7 @@ def ref_attention(q, k, v, cache, layer_i, meta, *, scale: float,
                      num_layers, page_size)
     kd, vd = gather_pages(cache, layer_i, meta.block_tables,
                           num_gather_pages, page_size, num_slots, hkv,
-                          num_layers)
+                          num_layers, head_dim=d)
     kmax = kd.shape[2]
 
     # Densify flat ragged queries into [S(+dump), Qmax, Hq, D].

@@ -62,6 +62,39 @@ SCALE_DTYPE = jnp.bfloat16
 _SUBLANE = 16  # bf16 sublane tile: scale blocks are padded to this
 
 
+# --- INT4 nibble packing -----------------------------------------------
+# HEAD-PAIR packing: packed lane p*D + j (one D-wide block per head pair p)
+# holds head 2p's element j in the LOW nibble and head 2p+1's in the HIGH
+# nibble. Unpacking is two shifts plus a concat of D-wide (128-lane,
+# tile-aligned) slices — no lane interleaving, which Mosaic can't do
+# cheaply — and a tensor-parallel shard of the packed lanes still owns
+# whole heads (requires Hkv / tp even). Values are symmetric int4 in
+# [-7, 7]; the per-(token, head) scale machinery is the int8 one with
+# qmax=7 (scale blocks, selector folds — unchanged).
+
+def pack_int4(q, d: int):
+    """q: int8[..., Hkv*D] in [-7, 7] -> int8[..., Hkv*D//2]."""
+    pairs = q.shape[-1] // (2 * d)
+    blocks = []
+    for p in range(pairs):
+        lo = jnp.bitwise_and(q[..., (2 * p) * d:(2 * p + 1) * d], 15)
+        hi = jnp.left_shift(q[..., (2 * p + 1) * d:(2 * p + 2) * d], 4)
+        blocks.append(jnp.bitwise_or(hi, lo))
+    return jnp.concatenate(blocks, axis=-1).astype(jnp.int8)
+
+
+def unpack_int4(b, d: int):
+    """int8[..., Hkv*D//2] -> int8[..., Hkv*D] (sign-extended nibbles,
+    heads back in order)."""
+    pairs = b.shape[-1] // d
+    blocks = []
+    for p in range(pairs):
+        blk = b[..., p * d:(p + 1) * d]
+        blocks.append(jnp.right_shift(jnp.left_shift(blk, 4), 4))  # lo
+        blocks.append(jnp.right_shift(blk, 4))                     # hi
+    return jnp.concatenate(blocks, axis=-1)
+
+
 def scale_rows_per_page(num_kv_heads: int) -> int:
     """Rows of one page's transposed scale block (K rows, V rows, padding up
     to the bf16 sublane tile so every block DMA is tile-aligned)."""
@@ -70,7 +103,7 @@ def scale_rows_per_page(num_kv_heads: int) -> int:
 
 def create_kv_cache(num_layers: int, num_kv_heads: int, num_pages: int,
                     page_size: int, head_dim: int, dtype,
-                    num_shards: int = 1) -> dict:
+                    num_shards: int = 1, kv_bits: int = 0) -> dict:
     """Returns {"data": [L*2*num_slots, Hkv*D], "scales":
     bf16[(L*num_pages + 1) * RPP, page_size * num_shards] (int8) |
     f32[1, 1] (dummy otherwise)}. The final RPP rows are the dump block for
@@ -83,8 +116,11 @@ def create_kv_cache(num_layers: int, num_kv_heads: int, num_pages: int,
     cannot DMA. num_kv_heads is global; rows are sized for the per-shard
     head count."""
     num_slots = num_pages * page_size
-    data = jnp.zeros((num_layers * 2 * num_slots, num_kv_heads * head_dim),
-                     dtype=dtype)
+    width = num_kv_heads * head_dim
+    if kv_bits == 4:  # nibble-packed int4: two original lanes per int8 byte
+        assert dtype == jnp.int8
+        width //= 2
+    data = jnp.zeros((num_layers * 2 * num_slots, width), dtype=dtype)
     rpp = scale_rows_per_page(num_kv_heads // num_shards)
     scales = (jnp.ones(((num_layers * num_pages + 1) * rpp,
                         page_size * num_shards), SCALE_DTYPE)
@@ -110,33 +146,40 @@ def scale_block_row(layer_i, page, num_pages: int, rpp: int):
     return (layer_i * num_pages + page) * rpp
 
 
-def _absmax_quant(x):
-    """x: [T, Hkv, D] -> (q [T, Hkv*D] int8, scale f32[T, Hkv])."""
+def _absmax_quant(x, qmax: float = 127.0):
+    """x: [T, Hkv, D] -> (q [T, Hkv*D] int8 in [-qmax, qmax],
+    scale f32[T, Hkv])."""
     t, hkv, d = x.shape
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1)              # [T, Hkv]
-    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    scale = jnp.maximum(absmax / qmax, 1e-8)
     # Round the scale THROUGH its storage dtype before dividing, so q is
     # exact w.r.t. the scale the reader will see.
     scale = scale.astype(SCALE_DTYPE).astype(jnp.float32)
-    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127).astype(jnp.int8)
-    return q.reshape(t, hkv * d), scale
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -qmax, qmax)
+    return q.astype(jnp.int8).reshape(t, hkv * d), scale
 
 
-def quantize_kv_rows(k, v):
-    """Per-(token, head) absmax INT8 quantization of a step's K and V.
+def quantize_kv_rows(k, v, kv_bits: int = 8):
+    """Per-(token, head) absmax INT8/INT4 quantization of a step's K and V.
 
-    k, v: [T, Hkv, D] -> (kq [T, Hkv*D] int8, vq [T, Hkv*D] int8,
-    scale columns [T, 2*Hkv] bf16: K scales at [:, :Hkv], V at [:, Hkv:]).
+    k, v: [T, Hkv, D] -> (kq [T, Hkv*D] int8 (or nibble-packed
+    [T, Hkv*D/2] when kv_bits == 4), vq likewise, scale columns
+    [T, 2*Hkv] bf16: K scales at [:, :Hkv], V at [:, Hkv:]).
     The column form is the decode-kernel input (it merges one token's lane
     into a page's scale block)."""
-    kq, ks = _absmax_quant(k)
-    vq, vs = _absmax_quant(v)
+    qmax = 7.0 if kv_bits == 4 else 127.0
+    kq, ks = _absmax_quant(k, qmax)
+    vq, vs = _absmax_quant(v, qmax)
+    if kv_bits == 4:
+        d = k.shape[-1]
+        kq, vq = pack_int4(kq, d), pack_int4(vq, d)
     cols = jnp.concatenate([ks, vs], axis=1).astype(SCALE_DTYPE)
     return kq, vq, cols
 
 
-def quantize_kv_blocks(k, v, page_size: int, num_kv_heads: int):
+def quantize_kv_blocks(k, v, page_size: int, num_kv_heads: int,
+                       kv_bits: int = 8):
     """Prefill-shaped quantization: K/V rows plus TRANSPOSED per-page scale
     blocks ready for whole-block write-through.
 
@@ -150,7 +193,7 @@ def quantize_kv_blocks(k, v, page_size: int, num_kv_heads: int):
     assert t % page_size == 0
     nb = t // page_size
     rpp = scale_rows_per_page(num_kv_heads)
-    kq, vq, cols = quantize_kv_rows(k, v)               # cols [T, 2*Hkv]
+    kq, vq, cols = quantize_kv_rows(k, v, kv_bits)      # cols [T, 2*Hkv]
     blocks = jnp.ones((nb, rpp, page_size), SCALE_DTYPE)
     per_page = cols.reshape(nb, page_size, 2 * num_kv_heads)
     blocks = blocks.at[:, : 2 * num_kv_heads, :].set(
@@ -177,6 +220,7 @@ def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
     """
     data = cache["data"]
     t, hkv, d = k.shape
+    kv_bits = 4 if data.shape[1] == hkv * d // 2 else 8
     num_pages = num_slots // page_size
     valid = slot_mapping < num_slots
     total = data.shape[0]
@@ -187,7 +231,7 @@ def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
                                       num_pages), total)
     rows = jnp.concatenate([k_rows, v_rows])
     if data.dtype == jnp.int8:
-        kq, vq, cols = quantize_kv_rows(k, v)
+        kq, vq, cols = quantize_kv_rows(k, v, kv_bits)
         data = data.at[rows].set(jnp.concatenate([kq, vq]), mode="drop",
                                  unique_indices=True)
         cols = cols.astype(SCALE_DTYPE)
@@ -211,16 +255,20 @@ def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
 
 def gather_pages(cache: dict, layer_i, block_tables, num_gather_pages: int,
                  page_size: int, num_slots: int, num_kv_heads: int,
-                 num_layers: int):
+                 num_layers: int, head_dim: int = 0):
     """Dense gather of per-sequence KV from the paged cache (the XLA reference
     backend's read path; reference attention_sdpa.py:148-182 capability).
     Dequantizes int8 rows with their scales.
 
     Returns k, v: [S, Hkv, num_gather_pages * page_size, D] (fp32 if int8).
+
+    head_dim: pass explicitly for the nibble-packed INT4 cache (the packed
+    lane width no longer determines it); rows are unpacked after the gather.
     """
     data = cache["data"]
     s = block_tables.shape[0]
-    d = data.shape[1] // num_kv_heads
+    d = head_dim or data.shape[1] // num_kv_heads
+    kv_bits = 4 if data.shape[1] == num_kv_heads * d // 2 else 8
     num_pages = num_slots // page_size
     tables = block_tables[:, :num_gather_pages]  # [S, Pk]
     slots = (tables[:, :, None] * page_size
@@ -239,7 +287,10 @@ def gather_pages(cache: dict, layer_i, block_tables, num_gather_pages: int,
 
     # [S, K, Hkv*D] -> [S, K, Hkv, D] -> [S, Hkv, K, D]
     def fetch(rows, row0):
-        x = data[rows].reshape(s, -1, num_kv_heads, d)
+        x = data[rows]
+        if kv_bits == 4:
+            x = unpack_int4(x, d)
+        x = x.reshape(s, -1, num_kv_heads, d)
         if data.dtype == jnp.int8:
             x = (x.astype(jnp.float32)
                  * sc[..., row0:row0 + num_kv_heads]

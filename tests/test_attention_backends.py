@@ -30,8 +30,11 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
     """Mirror of pallas_attention's decode prep: build the new-row operands
     and invoke the kernel (interpret mode)."""
     t, hkv, d = k_new.shape
+    kv_bits = 8
     if cache["data"].dtype == jnp.int8:
-        k_rows, v_rows, kv_scales = quantize_kv_rows(k_new, v_new)
+        if cache["data"].shape[1] == hkv * d // 2:
+            kv_bits = 4
+        k_rows, v_rows, kv_scales = quantize_kv_rows(k_new, v_new, kv_bits)
     else:
         k_rows = k_new.reshape(t, hkv * d).astype(cache["data"].dtype)
         v_rows = v_new.reshape(t, hkv * d).astype(cache["data"].dtype)
@@ -40,7 +43,8 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
         q, k_rows, v_rows, kv_scales, cache["data"],
         cache["scales"], layer_i, context_lens, block_tables, slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=num_layers, int8_dots=int8_dots, interpret=True)
+        num_layers=num_layers, int8_dots=int8_dots, kv_bits=kv_bits,
+        interpret=True)
     return out, {"data": data, "scales": scales}
 
 
@@ -319,3 +323,96 @@ def test_int8_kv_quantized_decode_close_to_fp32():
         num_slots=num_slots, num_layers=1, int8_dots=True)
     err8 = np.abs(np.asarray(out8) - outs[jnp.float32]).max()
     assert err8 < 0.1, f"int8-dot error too large: {err8}"
+
+
+def test_int4_kv_quantized_decode_close_to_fp32():
+    """Nibble-packed INT4 KV (head-pair lanes, per-(token, head) scales):
+    decode output within int4 quantization noise of fp32; exercises the
+    packed stream read, in-kernel packed row write, and the XLA write path
+    (write_kv packs via the data width)."""
+    s_, hq, hkv, d, page_size, pps = 3, 4, 2, 128, 128, 2
+    num_pages = s_ * pps + 1
+    num_slots = num_pages * page_size
+    key = jax.random.PRNGKey(3)
+    kq, kk, kv_, kn = jax.random.split(key, 4)
+    ctx_len = 200
+    q = jax.random.normal(kq, (s_, hq, d), jnp.float32)
+    rng = np.random.default_rng(3)
+    tables = jnp.asarray(rng.permutation(num_pages - 1)[: s_ * pps].reshape(
+        s_, pps).astype(np.int32) + 1)
+
+    caches = {
+        "f32": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.float32),
+        "int4": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.int8,
+                                kv_bits=4),
+    }
+    assert caches["int4"]["data"].shape[1] == hkv * d // 2
+    k_prefix = jax.random.normal(kk, (s_ * ctx_len, hkv, d), jnp.float32)
+    v_prefix = jax.random.normal(kv_, (s_ * ctx_len, hkv, d), jnp.float32)
+    pos = np.arange(ctx_len)
+    slots = np.concatenate([
+        np.asarray(tables[si])[pos // page_size] * page_size + pos % page_size
+        for si in range(s_)]).astype(np.int32)
+    for name in caches:
+        caches[name] = write_kv(caches[name], 0, k_prefix, v_prefix,
+                                jnp.asarray(slots), num_slots, 1, page_size)
+
+    k_new = jax.random.normal(kn, (s_, hkv, d), jnp.float32)
+    context_lens = jnp.full((s_,), ctx_len + 1, jnp.int32)
+    step_slots = jnp.asarray(np.array(
+        [slot_of(np.asarray(tables), si, ctx_len, page_size)
+         for si in range(s_)], np.int32))
+
+    outs = {}
+    for name, cache in caches.items():
+        out, _ = run_decode(
+            q, k_new, k_new, cache, 0, context_lens, tables, step_slots,
+            scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
+            num_layers=1)
+        outs[name] = np.asarray(out)
+    err = np.abs(outs["int4"] - outs["f32"]).max()
+    assert err < 0.35, f"int4 KV error too large: {err}"
+    assert not np.allclose(outs["int4"], 0)
+
+
+def test_int4_prefill_matches_dense_within_noise():
+    """INT4 ragged prefill vs the fp32 dense reference: the write-through
+    packs rows per tile; prefix chunks unpack in-kernel."""
+    from nanovllm_tpu.ops.attention_pallas import ragged_prefill_attention
+    from nanovllm_tpu.ops.kv_cache import quantize_kv_blocks
+    hq, hkv, d, page_size, q_tile = 4, 2, 128, 128, 128
+    t = 3 * q_tile                      # one seq, 3 tiles
+    pps = t // page_size
+    num_pages = pps + 1
+    num_slots = num_pages * page_size
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv_ = jax.random.split(key, 3)
+    q = jax.random.normal(kq, (t, hq, d), jnp.float32)
+    k = jax.random.normal(kk, (t, hkv, d), jnp.float32)
+    v = jax.random.normal(kv_, (t, hkv, d), jnp.float32)
+    tables = jnp.arange(1, pps + 1, dtype=jnp.int32)[None, :]
+    ctxs = jnp.full((1,), t, jnp.int32)
+    nt = t // q_tile
+    tile_seq = jnp.zeros(nt, jnp.int32)
+    tile_pos0 = jnp.arange(nt, dtype=jnp.int32) * q_tile
+
+    cache = create_kv_cache(1, hkv, num_pages, page_size, d, jnp.int8,
+                            kv_bits=4)
+    kq4, vq4, blocks = quantize_kv_blocks(k, v, page_size, hkv, kv_bits=4)
+    out, _, _ = ragged_prefill_attention(
+        q, kq4, vq4, blocks, cache["data"], cache["scales"], 0, tile_seq,
+        tile_pos0, ctxs, tables, scale=d ** -0.5, page_size=page_size,
+        num_slots=num_slots, num_layers=1, q_tile=q_tile, kv_bits=4,
+        interpret=True)
+
+    # Dense causal reference on the ORIGINAL fp32 K/V.
+    qf = q.astype(jnp.float32).reshape(t, hkv, hq // hkv, d)
+    scores = jnp.einsum("thgd,shd->thgs", qf, k.astype(jnp.float32))
+    scores = scores * d ** -0.5
+    causal = jnp.tril(jnp.ones((t, t), bool))
+    scores = jnp.where(causal[:, None, None, :], scores, -jnp.inf)
+    p = jax.nn.softmax(scores, axis=-1)
+    ref = jnp.einsum("thgs,shd->thgd", p, v.astype(jnp.float32))
+    err = np.abs(np.asarray(out).reshape(t, hkv, hq // hkv, d)
+                 - np.asarray(ref)).max()
+    assert err < 0.35, f"int4 prefill error too large: {err}"
