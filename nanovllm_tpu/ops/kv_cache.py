@@ -85,14 +85,18 @@ def pack_int4(q, d: int):
 
 def unpack_int4(b, d: int):
     """int8[..., Hkv*D//2] -> int8[..., Hkv*D] (sign-extended nibbles,
-    heads back in order)."""
+    heads back in order). Nibble arithmetic runs in int32: Mosaic has no
+    int8 vector shifts (arith.shli fails to legalize), and this also runs
+    inside the Pallas kernels."""
+    x = b.astype(jnp.int32)
     pairs = b.shape[-1] // d
     blocks = []
     for p in range(pairs):
-        blk = b[..., p * d:(p + 1) * d]
-        blocks.append(jnp.right_shift(jnp.left_shift(blk, 4), 4))  # lo
+        blk = x[..., p * d:(p + 1) * d]
+        # lo nibble sign-extended via shift-up/arithmetic-shift-down.
+        blocks.append(jnp.right_shift(jnp.left_shift(blk, 28), 28))
         blocks.append(jnp.right_shift(blk, 4))                     # hi
-    return jnp.concatenate(blocks, axis=-1)
+    return jnp.concatenate(blocks, axis=-1).astype(jnp.int8)
 
 
 def scale_rows_per_page(num_kv_heads: int) -> int:

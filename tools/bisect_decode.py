@@ -11,9 +11,10 @@ from nanovllm_tpu.engine.sequence import Sequence
 from nanovllm_tpu.sampling_params import SamplingParams
 
 mode = sys.argv[1] if len(sys.argv) > 1 else "full"
+KVD = sys.argv[2] if len(sys.argv) > 2 else "int8"
 cfg = Config(model="", model_config=QWEN3_0_6B, max_model_len=2048,
              max_num_batched_tokens=8192, attn_backend="pallas",
-             load_format="random", decode_steps=32, kv_cache_dtype="int8",
+             load_format="random", decode_steps=32, kv_cache_dtype=KVD,
              max_num_seqs=64, kvcache_block_size=128)
 runner = ModelRunner(cfg)
 if mode == "noattn":
@@ -52,5 +53,5 @@ for _ in range(5):
     t0 = time.perf_counter()
     runner.run(seqs, is_prefill=False, num_steps=32)
     best = min(best, time.perf_counter() - t0)
-print(f"decode dispatch ({mode}): {best*1e3:.1f} ms "
+print(f"decode dispatch ({mode}, kv={KVD}): {best*1e3:.1f} ms "
       f"({best/32*1e3:.2f} ms/step, {64*32/best:.0f} tok/s)")
