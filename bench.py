@@ -33,10 +33,33 @@ QWEN3_0_6B = ModelConfig(
     tie_word_embeddings=True,
 )
 
+# The rest of the Qwen3 dense family (BASELINE.json config 5 asks for 8B with
+# INT8 weights + INT8 KV; 8B int8 ≈ 8.2 GiB of weights — fits one v5e chip).
+QWEN3_SIZES = {
+    "0.6B": QWEN3_0_6B,
+    "1.7B": ModelConfig(
+        hidden_size=2048, intermediate_size=6144, num_hidden_layers=28,
+        num_attention_heads=16, num_key_value_heads=8, head_dim=128,
+        vocab_size=151936, rope_theta=1000000.0,
+        max_position_embeddings=40960, tie_word_embeddings=True),
+    "4B": ModelConfig(
+        hidden_size=2560, intermediate_size=9728, num_hidden_layers=36,
+        num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+        vocab_size=151936, rope_theta=1000000.0,
+        max_position_embeddings=40960, tie_word_embeddings=True),
+    "8B": ModelConfig(
+        hidden_size=4096, intermediate_size=12288, num_hidden_layers=36,
+        num_attention_heads=32, num_key_value_heads=8, head_dim=128,
+        vocab_size=151936, rope_theta=1000000.0,
+        max_position_embeddings=40960, tie_word_embeddings=False),
+}
+
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default=os.environ.get("NANOVLLM_MODEL", ""))
+    p.add_argument("--model-size", default="0.6B", choices=sorted(QWEN3_SIZES),
+                   help="Qwen3 shape when no --model dir is given")
     p.add_argument("--num-seqs", type=int, default=64)
     p.add_argument("--input-len", type=int, default=1024)
     p.add_argument("--output-len", type=int, default=1024)
@@ -55,7 +78,7 @@ def main():
     max_model_len = args.max_model_len or (args.input_len + args.output_len)
     llm = LLM(
         args.model,
-        model_config=None if args.model else QWEN3_0_6B,
+        model_config=None if args.model else QWEN3_SIZES[args.model_size],
         max_model_len=max_model_len,
         max_num_batched_tokens=max(8192, max_model_len),
         max_num_seqs=min(args.num_seqs, 256),
@@ -115,13 +138,16 @@ def main():
     if args.quant != "none":
         tag += f"+w{args.quant[3:]}"
     import sys
-    print("engine metrics:", json.dumps(llm.metrics.summary()), file=sys.stderr)
+    summary = llm.metrics.summary()
+    print("engine metrics:", json.dumps(summary), file=sys.stderr)
     print(json.dumps({
-        "metric": f"decode tok/s Qwen3-0.6B {args.num_seqs}x{args.input_len}/"
+        "metric": f"decode tok/s Qwen3-{args.model_size} "
+                  f"{args.num_seqs}x{args.input_len}/"
                   f"{args.output_len} {tag}",
         "value": round(toks, 2),
         "unit": "tok/s",
         "vs_baseline": round(toks / BASELINE_FLASH_TOKS, 3),
+        "ttft_p50_ms": summary["ttft"].get("p50_ms"),
     }))
 
 

@@ -15,8 +15,12 @@ from nanovllm_tpu import LLM, SamplingParams
 from bench import QWEN3_0_6B
 
 
-def run_cell(llm, bs: int, input_len: int) -> float | None:
-    rng = np.random.default_rng(0)
+def run_cell(llm, bs: int, input_len: int, rng) -> float | None:
+    # `rng` is ONE stream across the whole grid (the reference seeds once at
+    # bench_my.py startup): re-seeding per cell would replay the same token
+    # stream at a different sequence length, and the resulting cross-cell
+    # prefix-cache hits make the untimed warmup run compile different jit
+    # buckets than the timed runs — which then pay the compiles.
     vocab = llm.config.model_config.vocab_size
     sp = SamplingParams(temperature=0.0, max_tokens=input_len, ignore_eos=True)
     try:
@@ -46,8 +50,12 @@ def main():
     p.add_argument("--batch-sizes", nargs="+", type=int, default=[16, 32, 64])
     p.add_argument("--input-lens", nargs="+", type=int,
                    default=[512, 1024, 2048])
-    p.add_argument("--kv-cache-dtype", default="auto",
-                   choices=["auto", "bfloat16", "int8"])
+    p.add_argument("--kv-cache-dtype", default="int8",
+                   choices=["auto", "bfloat16", "int8", "int4"])
+    # Weight-only INT8 (accuracy-gated by tests/test_model_parity.py): small
+    # batches are weight-read-bound, so fused-dequant matmuls lift the
+    # bs=16 column the most.
+    p.add_argument("--quant", default="int8", choices=["none", "int8", "int4"])
     p.add_argument("--decode-steps", type=int, default=64)
     args = p.parse_args()
 
@@ -62,14 +70,16 @@ def main():
             max_num_seqs=max(args.batch_sizes),
             attn_backend=backend,
             kv_cache_dtype=args.kv_cache_dtype,
+            quant=args.quant,
             decode_steps=args.decode_steps,
             load_format="auto" if args.model else "random",
         )
         llm.generate([[1] * 16], SamplingParams(max_tokens=2, ignore_eos=True),
                      use_tqdm=False)  # warmup (the short-prompt bug path)
+        rng = np.random.default_rng(0)
         for bs in args.batch_sizes:
             for ln in args.input_lens:
-                tput = run_cell(llm, bs, ln)
+                tput = run_cell(llm, bs, ln, rng)
                 results[f"{backend}/{bs}/{ln}"] = (
                     None if tput is None else round(tput, 1))
                 print(f"{backend:8s} bs={bs:<4d} len={ln:<6d} "

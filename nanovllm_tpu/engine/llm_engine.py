@@ -76,8 +76,13 @@ class LLMEngine:
         t0 = time.perf_counter()
         token_lists = self.model_runner.run(seqs, stats.is_prefill,
                                             stats.num_steps)
-        self.metrics.record_step(stats, time.perf_counter() - t0)
+        t1 = time.perf_counter()
+        self.metrics.record_step(stats, t1 - t0)
         finished = self.scheduler.postprocess(seqs, token_lists)
+        for seq in seqs:
+            if seq.first_token_t is None and seq.num_completion_tokens > 0:
+                seq.first_token_t = t1
+                self.metrics.ttft_s.append(t1 - seq.arrival_t)
         outputs = [(seq.seq_id, seq.completion_token_ids) for seq in finished]
         return outputs, stats
 

@@ -10,6 +10,7 @@ Reference: nanovllm/engine/sequence.py. Differences by design:
 
 from __future__ import annotations
 
+import time
 from enum import Enum, auto
 from itertools import count
 
@@ -33,6 +34,8 @@ class Sequence:
     ):
         sampling_params = sampling_params or SamplingParams()
         self.seq_id = next(Sequence.counter)
+        self.arrival_t = time.perf_counter()
+        self.first_token_t: float | None = None
         self.status = SequenceStatus.WAITING
         self.token_ids = list(token_ids)
         self.last_token = token_ids[-1]

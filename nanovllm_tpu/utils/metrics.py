@@ -23,6 +23,7 @@ class EngineMetrics:
     num_steps: int = 0
     num_preempted: int = 0
     step_times: dict = field(default_factory=lambda: defaultdict(list))
+    ttft_s: list = field(default_factory=list)  # arrival → first token
 
     def record_step(self, stats, dt: float) -> None:
         self.num_steps += 1
@@ -60,6 +61,7 @@ class EngineMetrics:
             "num_preempted": self.num_preempted,
             "prefill_step": self._pcts(self.step_times.get("prefill", [])),
             "decode_step": self._pcts(self.step_times.get("decode", [])),
+            "ttft": self._pcts(self.ttft_s),
         }
 
 
