@@ -75,52 +75,50 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
         + last % page_size)
     interp = jax.devices()[0].platform == "cpu"
 
-    # The kernel aliases the cache in place; donate it and thread it through
-    # the scan carry so no per-iteration cache copy appears in the timing.
+    # Back-to-back DONATED dispatches, per-iteration time = slope between two
+    # iteration counts (the bench_prefill method). A lax.scan chain with the
+    # cache threaded through the carry looked equivalent but XLA double-
+    # buffers scan carries: every iteration paid a full hidden cache copy —
+    # the --spare-pages detector measured the kernel at 310 GB/s when it
+    # actually runs at ~780 GB/s (~95% of v5e HBM). Donation across separate
+    # dispatches aliases for real; the data dependency through the cache
+    # serializes iterations, and only the final block_until_ready syncs, so
+    # the tunnel's per-dispatch round trip pipelines away.
     import functools as _ft
-
-    from jax import lax
 
     from nanovllm_tpu.ops.kv_cache import quantize_kv_rows
 
-    # Long chain: the axon tunnel's per-dispatch round trip (~30-55 ms) must
-    # amortize to noise against the on-device time.
-    iters = 100
+    if dtype == jnp.int8:
+        kq, vq, cols = quantize_kv_rows(q[:, :hkv, :], q[:, :hkv, :])
+    else:
+        kq = q[:, :hkv, :].reshape(bs, hkv * d).astype(dtype)
+        vq = kq
+        cols = jnp.ones((bs, 1), jnp.float32)
 
     @_ft.partial(jax.jit, donate_argnums=(1, 2))
-    def chain(x, data, scales):
-        def body(c, _):
-            qq, data, scales = c
-            # Production decode step: the kernel writes the new rows and
-            # merges the scale lane itself.
-            if dtype == jnp.int8:
-                kq, vq, cols = quantize_kv_rows(qq[:, :hkv, :],
-                                                qq[:, :hkv, :])
-            else:
-                kq = qq[:, :hkv, :].reshape(bs, hkv * d).astype(dtype)
-                vq = kq
-                cols = jnp.ones((bs, 1), jnp.float32)
-            o, data, scales = paged_decode_attention(
-                qq, kq, vq, cols,
-                data, scales, 0, ctxs, tables, step_slots,
-                scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
-                num_layers=1, int8_dots=int8_dots, pages_per_chunk=ppc,
-                interpret=interp)
-            return (o.astype(qq.dtype), data, scales), ()
-        (y, data, scales), _ = lax.scan(body, (x, data, scales),
-                                        length=iters)
-        return y, data, scales
+    def run(qq, data, scales):
+        o, data, scales = paged_decode_attention(
+            qq, kq, vq, cols,
+            data, scales, 0, ctxs, tables, step_slots,
+            scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
+            num_layers=1, int8_dots=int8_dots, pages_per_chunk=ppc,
+            interpret=interp)
+        return o, data, scales
 
     data, scales = cache["data"], cache["scales"]
-    out, data, scales = chain(q, data, scales)  # compile + warmup
-    np.asarray(out)[0, 0, 0]
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        out, data, scales = chain(q, data, scales)
-        np.asarray(out)[0, 0, 0]
-        best = min(best, time.perf_counter() - t0)
-    dt = best / iters
+    o, data, scales = run(q, data, scales)  # compile + warmup
+    jax.block_until_ready(o)
+    times = {}
+    for iters in (8, 32):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                o, data, scales = run(q, data, scales)
+            jax.block_until_ready((o, data, scales))
+            best = min(best, time.perf_counter() - t0)
+        times[iters] = best
+    dt = (times[32] - times[8]) / 24  # dispatch-overhead-free slope
     kv_bytes = 2 * bs * ctx * hkv * d * data.dtype.itemsize
     return dt, kv_bytes / dt / 1e9
 

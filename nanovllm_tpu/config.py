@@ -48,6 +48,11 @@ class ModelConfig:
 
     @staticmethod
     def from_hf_dict(hf: dict) -> "ModelConfig":
+        # Same constraint as the reference (rotary_embedding.py:58-68):
+        # plain RoPE only. Llama-3-style rope_scaling would silently load
+        # but produce wrong logits, so refuse loudly.
+        assert not hf.get("rope_scaling"), (
+            "rope_scaling is not supported (plain RoPE only)")
         eos = hf.get("eos_token_id", 151645)
         if isinstance(eos, list):
             eos = eos[0]

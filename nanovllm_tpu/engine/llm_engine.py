@@ -37,8 +37,15 @@ class LLMEngine:
         self.tokenizer = None
         if model:
             from transformers import AutoTokenizer
-            self.tokenizer = AutoTokenizer.from_pretrained(model)
-            if self.tokenizer.eos_token_id is not None:
+            try:
+                self.tokenizer = AutoTokenizer.from_pretrained(model)
+            except Exception:  # missing/broken tokenizer files, any flavor
+                # Weights-only checkpoint dir: token-id prompts still work
+                # (string prompts assert in add_request).
+                logger.warning("no tokenizer found under %s; "
+                               "string prompts disabled", model)
+            if self.tokenizer is not None \
+                    and self.tokenizer.eos_token_id is not None:
                 self.config.eos = self.tokenizer.eos_token_id
 
         self.model_runner = ModelRunner(self.config)
