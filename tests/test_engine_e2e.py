@@ -177,3 +177,15 @@ def test_pallas_prefix_cache_reuse_matches_ref():
     pal2 = pal_llm.generate(prompts, sp, use_tqdm=False)[0]["token_ids"]
     assert pal_llm.scheduler.block_manager.cached_token_hits > hits0
     assert ref1 == pal1 == pal2
+
+
+def test_ttft_metric_recorded():
+    """Every request gets exactly one TTFT sample (arrival -> first token),
+    including requests finishing across different prefill steps."""
+    llm = make_llm()
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    llm.generate([[1, 2, 3], [4, 5], [6, 7, 8, 9]], sp, use_tqdm=False)
+    assert len(llm.metrics.ttft_s) == 3
+    assert all(t > 0 for t in llm.metrics.ttft_s)
+    summary = llm.metrics.summary()
+    assert summary["ttft"]["p50_ms"] > 0
