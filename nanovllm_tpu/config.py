@@ -111,6 +111,10 @@ class Config:
     max_model_len: int = 4096
     hbm_utilization: float = 0.9
     tensor_parallel_size: int = 1
+    # Reference semantic (model_runner.py:26,43: skip CUDA-graph capture, run
+    # one eager step per dispatch). TPU analog: force decode_steps=1 (no fused
+    # multi-step scan) and skip construction-time auto-warmup — every step is
+    # a plain one-shot jit dispatch.
     enforce_eager: bool = False
     kvcache_block_size: int = 128
     num_kvcache_blocks: int = -1
@@ -130,6 +134,13 @@ class Config:
     # "random" initializes weights from a PRNG instead of loading safetensors
     # (lets benches run without model files on disk).
     load_format: str = "auto"      # auto | safetensors | random
+    # Pre-compile the saturated-serving step buckets (decode at max_num_seqs,
+    # prefill at max_num_batched_tokens) at engine construction so the first
+    # real request doesn't pay the jit compiles (the reference's warmup +
+    # CUDA-graph capture at init, model_runner.py:40-44). None = on for TPU,
+    # off on CPU (where interpret-mode warmup would execute real kernel work
+    # with no compile latency to hide).
+    auto_warmup: bool | None = None
     # Use the C++ engine core (csrc/engine_core.cpp) for the block manager /
     # prefix cache and decode batch prep; falls back to the pure-Python
     # implementations when the toolchain is unavailable.
@@ -147,6 +158,9 @@ class Config:
     model_config: ModelConfig | None = None
 
     def __post_init__(self):
+        if self.enforce_eager:
+            self.decode_steps = 1
+            self.auto_warmup = False
         self.attn_backend = ATTN_BACKEND_ALIASES.get(
             self.attn_backend, self.attn_backend)
         assert self.attn_backend in ATTN_BACKENDS, (

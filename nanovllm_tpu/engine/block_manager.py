@@ -172,40 +172,3 @@ class BlockManager:
         block.update(h, seq.block(idx))
         self.hash_to_block_id[h] = block.block_id
 
-    def can_append(self, seq: Sequence) -> bool:
-        # A new page is needed only when the next appended token starts one.
-        return self.num_free_blocks >= (len(seq) % self.block_size == 1)
-
-    def may_append(self, seq: Sequence) -> None:
-        block_table = seq.block_table
-        last_block = self.blocks[block_table[-1]]
-        pos = len(seq) % self.block_size
-        if pos == 1:
-            # The previous page just filled. If it was never sealed (short
-            # prompt that ended exactly on a boundary mid-chain), lazily
-            # backfill its hash now — the fork's bugfix
-            # (reference block_manager.py:136-146).
-            if last_block.hash == -1:
-                prefix_hash = (
-                    self.blocks[block_table[-2]].hash
-                    if len(block_table) > 1 else -1
-                )
-                token_ids = seq.block(seq.num_blocks - 2)
-                h = compute_hash(token_ids, prefix_hash)
-                last_block.update(h, token_ids)
-                self.hash_to_block_id[h] = last_block.block_id
-            block_id = next(iter(self.free_blocks))
-            self._allocate_block(block_id)
-            block_table.append(block_id)
-        elif pos == 0:
-            # The last page just filled with this step's token: seal it.
-            assert last_block.hash == -1
-            token_ids = seq.block(seq.num_blocks - 1)
-            prefix_hash = (
-                self.blocks[block_table[-2]].hash if len(block_table) > 1 else -1
-            )
-            h = compute_hash(token_ids, prefix_hash)
-            last_block.update(h, token_ids)
-            self.hash_to_block_id[h] = last_block.block_id
-        else:
-            assert last_block.hash == -1

@@ -52,6 +52,17 @@ class LLMEngine:
         # Runner resolves num_kvcache_blocks from the HBM budget first.
         self.scheduler = Scheduler(self.config)
         self.metrics = EngineMetrics()
+        auto = self.config.auto_warmup
+        if auto is None:
+            auto = self.model_runner.mesh.devices.flat[0].platform != "cpu"
+        if auto:
+            # Saturated-serving hot buckets; first-request TTFT then pays at
+            # most a tail bucket compile (served by the persistent XLA cache
+            # on repeat runs) instead of the full prefill+decode compile.
+            self.warmup(
+                decode_bs=[self.config.max_num_seqs],
+                prefill=[(self.config.max_num_batched_tokens,
+                          self.config.max_num_seqs)])
 
     def exit(self):  # API parity with the reference (llm_engine.py:47-60)
         pass
@@ -84,8 +95,15 @@ class LLMEngine:
         token_lists = self.model_runner.run(seqs, stats.is_prefill,
                                             stats.num_steps)
         t1 = time.perf_counter()
-        self.metrics.record_step(stats, t1 - t0)
+        before = sum(seq.num_tokens for seq in seqs)
         finished = self.scheduler.postprocess(seqs, token_lists)
+        if not stats.is_prefill:
+            # Honest decode accounting: a fused K-step dispatch may compute
+            # tokens past EOS/max_tokens that postprocess discards; count only
+            # the tokens that were actually emitted.
+            stats.num_scheduled_tokens = \
+                sum(seq.num_tokens for seq in seqs) - before
+        self.metrics.record_step(stats, t1 - t0)
         for seq in seqs:
             if seq.first_token_t is None and seq.num_completion_tokens > 0:
                 seq.first_token_t = t1

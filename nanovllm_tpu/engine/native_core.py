@@ -173,17 +173,6 @@ class NativeBlockManager:
             return filled - 1
         return None
 
-    def can_append(self, seq) -> bool:
-        return self.num_free_blocks >= (len(seq) % self.block_size == 1)
-
-    def may_append(self, seq) -> None:
-        pos = len(seq) % self.block_size
-        self.commit_token(seq)  # seals at pos==0; backfills at pos==1
-        if pos == 1:
-            buf = np.empty(1, np.int32)
-            self._lib.bm_reserve(self._h, buf, 1)
-            seq.block_table.append(int(buf[0]))
-
     # Test introspection parity with the Python Block objects.
     def block_info(self, block_id: int) -> tuple[int, int]:
         rc = ctypes.c_int32()

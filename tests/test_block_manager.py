@@ -1,6 +1,6 @@
 """Unit tests for the paged-KV allocator + prefix cache — the subsystem whose
-one documented reference bug (short-prompt may_append, README.md:7-10) shapes
-these cases."""
+one documented reference bug (short-prompt page sealing at the first decode,
+reference README.md:7-10 / block_manager.py:136-146) shapes these cases."""
 
 import pytest
 
@@ -77,18 +77,27 @@ def test_cache_reactivation_after_free():
     assert s2.num_cached_tokens == 32
 
 
-def test_may_append_page_boundary():
+def test_commit_token_seals_at_page_boundary():
     bm = BlockManager(16, BS)
     seq = make_seq(range(15))  # 15 tokens: 1 page, unsealed
     bm.allocate(seq)
     assert len(seq.block_table) == 1
-    # Token 16 fills the page -> may_append seals its hash.
+    # One decode step: KV for position 15 fits the existing page.
+    assert bm.pages_needed_for(seq, 1) == 0
+    bm.reserve(seq, 1)
+    # Token 16 fills the page -> commit_token seals its hash.
     seq.append_token(15)
-    bm.may_append(seq)
+    bm.commit_token(seq)
     assert bm.blocks[seq.block_table[0]].hash != -1
-    # Token 17 starts a new page.
+    # The step that consumes token 16 writes KV at position 15 (still page 1);
+    # the one after writes position 16 -> page 2. Pages are reserved BEFORE
+    # each dispatch (production ordering: schedule reserves, postprocess
+    # appends + commits).
+    assert bm.pages_needed_for(seq, 1) == 0
     seq.append_token(16)
-    bm.may_append(seq)
+    bm.commit_token(seq)  # pos % bs == 1, previous page already sealed: no-op
+    assert bm.pages_needed_for(seq, 1) == 1
+    bm.reserve(seq, 1)
     assert len(seq.block_table) == 2
 
 
@@ -107,15 +116,18 @@ def test_short_prompt_lazy_hash_backfill():
     tail = bm.blocks[seq2.block_table[-1]]
     assert tail.hash == -1
     for tok in (17, 18):
+        bm.reserve(seq2, 1)
         seq2.append_token(tok)
-        bm.may_append(seq2)  # len 18: pos%16==2 no-op; len 19: no-op
+        bm.commit_token(seq2)  # len 18: pos%16==2 no-op; len 19: no-op
     # Drive to the boundary: fill to 32 then cross it.
     while len(seq2) < 32:
+        bm.reserve(seq2, 1)
         seq2.append_token(len(seq2))
-        bm.may_append(seq2)
+        bm.commit_token(seq2)
     assert bm.blocks[seq2.block_table[-1]].hash != -1  # sealed at 32
     seq2.append_token(99)
-    bm.may_append(seq2)  # 33 % 16 == 1 -> new page
+    bm.commit_token(seq2)
+    bm.reserve(seq2, 1)  # next step writes position 32 -> page 3
     assert len(seq2.block_table) == 3
 
 
@@ -131,29 +143,31 @@ def test_one_full_page_prompt_first_decode():
     blk = bm.blocks[seq.block_table[0]]
     bm.hash_to_block_id.pop(blk.hash, None)
     blk.hash = -1
+    bm.reserve(seq, 1)  # step writes KV at position 15: fits page 1
+    assert len(seq.block_table) == 1
     seq.append_token(42)
-    bm.may_append(seq)  # must backfill, not assert
+    bm.commit_token(seq)  # len % bs == 1: must lazily backfill, not assert
     assert bm.blocks[seq.block_table[0]].hash != -1
+    bm.reserve(seq, 1)  # next step writes position 16 -> page 2
     assert len(seq.block_table) == 2
 
 
-def test_can_append_only_needs_page_at_boundary():
+def test_reserve_needs_page_only_at_capacity_edge():
     bm = BlockManager(2, BS)
     seq = make_seq(range(20))
     bm.allocate(seq)
     assert bm.num_free_blocks == 0
-    # can_append is checked AFTER the sampled token is appended (postprocess
-    # appends, next schedule() checks): at len 21, 21 % 16 != 1 -> no page.
-    seq.append_token(0)
-    assert bm.can_append(seq)
-    bm.may_append(seq)
-    while len(seq) < 32:
-        seq.append_token(0)
-        assert bm.can_append(seq)
-        bm.may_append(seq)
-    # 33rd token starts page 3 but none is free.
-    seq.append_token(0)
-    assert not bm.can_append(seq)
+    # Two pages hold 32 KV slots; at len 20 a K-step dispatch writes positions
+    # 19..19+K-1, so K <= 13 fits the existing pages, K = 14 needs page 3.
+    assert bm.can_reserve(seq, 13)
+    assert not bm.can_reserve(seq, 14)
+    bm.reserve(seq, 13)
+    for t in range(13):
+        seq.append_token(t)
+        bm.commit_token(seq)
+    # len 33: the next step writes position 32 but no page is free ->
+    # the scheduler preempts.
+    assert not bm.can_reserve(seq, 1)
 
 
 def test_exhaustion():

@@ -179,6 +179,38 @@ def test_pallas_prefix_cache_reuse_matches_ref():
     assert ref1 == pal1 == pal2
 
 
+def test_decode_token_metric_counts_only_emitted_tokens():
+    """Fused K-step dispatches compute overshoot tokens past max_tokens that
+    postprocess discards; metrics must count only emitted tokens. With
+    heterogeneous max_tokens (none a multiple of K) every finishing dispatch
+    has overshoot."""
+    llm = make_llm(decode_steps=4)
+    maxes = (3, 10, 5, 1)
+    sps = [SamplingParams(temperature=0.0, max_tokens=m, ignore_eos=True)
+           for m in maxes]
+    outs = llm.generate([[7, 8], [9], [10, 11, 12], [13]], sps,
+                        use_tqdm=False)
+    emitted = sum(len(o["token_ids"]) for o in outs)
+    assert emitted == sum(maxes)
+    # Each seq's first completion token comes from its prefill step; the rest
+    # are decode-phase tokens.
+    assert llm.metrics.decode_tokens == emitted - len(maxes)
+
+
+def test_enforce_eager_single_step_decode():
+    """enforce_eager (reference model_runner.py:26,43) forces one-step
+    dispatches: decode_steps is overridden to 1 and output is unchanged."""
+    sp = SamplingParams(temperature=0.0, max_tokens=9, ignore_eos=True)
+    prompts = [[5, 9, 23, 41, 77]]
+    eager = make_llm(decode_steps=4, enforce_eager=True)
+    assert eager.config.decode_steps == 1
+    a = eager.generate(prompts, sp, use_tqdm=False)[0]["token_ids"]
+    b = make_llm().generate(prompts, sp, use_tqdm=False)[0]["token_ids"]
+    assert a == b
+    # One dispatch per decode token (9 tokens: 1 from prefill, 8 decode).
+    assert eager.metrics.num_steps == 1 + 8
+
+
 def test_ttft_metric_recorded():
     """Every request gets exactly one TTFT sample (arrival -> first token),
     including requests finishing across different prefill steps."""

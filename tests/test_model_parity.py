@@ -86,7 +86,8 @@ def run_ours(model_dir, token_chunks):
     for chunk in token_chunks[1:]:
         for tok in chunk:
             seq.append_token(int(tok))
-            bm.may_append(seq)
+            bm.commit_token(seq)
+            bm.reserve(seq, 1)
             raw = build_decode_meta([seq], 2, BS, pages_per_seq, num_slots)
             meta = BatchMeta(**{k: jnp.asarray(v) for k, v in raw.items()})
             logits, cache = fwd_d(params, cache, meta)

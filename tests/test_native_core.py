@@ -93,18 +93,20 @@ def test_allocator_equivalence_randomized():
         assert _norm_hash(h) == _norm_hash(py.blocks[bid].hash)
 
 
-def test_may_append_parity_short_prompt_boundary():
-    """The fork's bugfix scenario through both implementations."""
+def test_short_prompt_boundary_parity():
+    """The fork's bugfix scenario (prompt == one full page, first decode at
+    len % bs == 1) through both implementations."""
     for mgr_cls in (BlockManager, native_core.NativeBlockManager):
         bm = mgr_cls(16, BS)
         seq = make_seq(range(BS))  # exactly one full page
         bm.allocate(seq)
-        seq.append_token(7)        # len % BS == 1 -> lazy backfill + new page
-        bm.may_append(seq)
+        bm.reserve(seq, 2)         # positions 15,16 -> page 2 appears
         assert len(seq.block_table) == 2
+        seq.append_token(7)        # len % BS == 1: sealed-or-backfilled here
+        bm.commit_token(seq)
         seq2 = make_seq(list(range(BS)) + [9])
         bm.allocate(seq2)
-        assert seq2.num_cached_tokens == BS  # backfilled hash is hit
+        assert seq2.num_cached_tokens == BS  # page-1 hash is hit
         assert seq2.block_table[0] == seq.block_table[0]
 
 
