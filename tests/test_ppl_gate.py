@@ -1,0 +1,100 @@
+"""Perplexity gate (north-star: BASELINE.md — <= 0.1 ppl delta vs bf16 at
+matched bit-width for INT8/INT4 weight-only + INT8 KV cache).
+
+Two layers of defense:
+1. The evaluator itself is validated against HuggingFace transformers'
+   teacher-forced NLL on a real HF-format checkpoint (fp32, exact-ish).
+2. The quantization gate runs every quant config through the REAL serving
+   path (paged KV, chunked prefill with cached-prefix reads) and asserts the
+   delta bound. tools/eval_ppl.py applies the same gate to full-size
+   checkpoints on TPU.
+"""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from transformers import Qwen3Config, Qwen3ForCausalLM  # noqa: E402
+
+from nanovllm_tpu.config import Config, ModelConfig  # noqa: E402
+from tools.eval_ppl import evaluate  # noqa: E402
+
+N_TOKENS = 384
+CHUNK = 128
+
+
+@pytest.fixture(scope="module")
+def hf_model_dir(tmp_path_factory):
+    torch.manual_seed(0)
+    cfg = Qwen3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+        vocab_size=128, max_position_embeddings=1024, rope_theta=10000.0,
+        tie_word_embeddings=False,
+    )
+    model = Qwen3ForCausalLM(cfg).eval().to(torch.float32)
+    d = tmp_path_factory.mktemp("hf_qwen3_ppl")
+    model.save_pretrained(d, safe_serialization=True)
+    return str(d), model
+
+
+@pytest.fixture(scope="module")
+def tokens():
+    return np.random.default_rng(7).integers(0, 128, N_TOKENS)
+
+
+def make_config(model_dir, quant="none", kv_dtype="auto", dtype="float32",
+                backend="ref"):
+    return Config(
+        model_dir, max_model_len=512, max_num_batched_tokens=512,
+        max_num_seqs=8, attn_backend=backend, kvcache_block_size=128,
+        prefill_q_tile=128, quant=quant, kv_cache_dtype=kv_dtype,
+        dtype=dtype, num_kvcache_blocks=8,
+    )
+
+
+def hf_ppl(hf, tokens):
+    ids = torch.tensor(tokens[None, :])
+    with torch.no_grad():
+        logits = hf(ids).logits[0].float()
+    logp = torch.log_softmax(logits[:-1], dim=-1)
+    nll = -logp.gather(1, ids[0, 1:, None]).squeeze(1)
+    return float(torch.exp(nll.mean()))
+
+
+def test_evaluator_matches_hf(hf_model_dir, tokens):
+    """Our chunked paged-path NLL must reproduce HF's teacher-forced ppl
+    (validates the evaluator AND the cached-prefix prefill logits at every
+    position, not just last-token rows)."""
+    model_dir, hf = hf_model_dir
+    ours = evaluate(make_config(model_dir), tokens, chunk=CHUNK)
+    theirs = hf_ppl(hf, tokens)
+    assert ours["tokens"] == N_TOKENS - 1
+    assert abs(ours["ppl"] - theirs) < 0.02 * theirs, (ours["ppl"], theirs)
+
+
+def test_pallas_backend_ppl_matches_ref(hf_model_dir, tokens):
+    """The Pallas prefill path (interpret mode) scores the same stream within
+    bf16 noise of the XLA reference backend."""
+    model_dir, _ = hf_model_dir
+    ref = evaluate(make_config(model_dir, dtype="bfloat16", backend="ref"),
+                   tokens, chunk=CHUNK)
+    pal = evaluate(make_config(model_dir, dtype="bfloat16", backend="pallas"),
+                   tokens, chunk=CHUNK)
+    assert abs(pal["ppl"] - ref["ppl"]) < 0.05 * ref["ppl"], (pal, ref)
+
+
+@pytest.mark.parametrize("quant,kv_dtype", [
+    ("int8", "auto"), ("int4", "auto"), ("none", "int8"), ("none", "int4"),
+    ("int8", "int8"),
+])
+def test_quantization_ppl_gate(hf_model_dir, tokens, quant, kv_dtype):
+    """North-star gate: <= 0.1 ppl delta vs the bf16 baseline for every
+    supported quantization config, measured through the serving path."""
+    model_dir, _ = hf_model_dir
+    base = evaluate(make_config(model_dir, dtype="bfloat16"), tokens,
+                    chunk=CHUNK)
+    q = evaluate(make_config(model_dir, quant=quant, kv_dtype=kv_dtype,
+                             dtype="bfloat16"), tokens, chunk=CHUNK)
+    delta = abs(q["ppl"] - base["ppl"])
+    assert delta <= 0.1, (quant, kv_dtype, q["ppl"], base["ppl"], delta)
