@@ -1,0 +1,112 @@
+"""Replicated-scheduling determinism — the multi-host contract.
+
+Under `Config(distributed=True)` every host runs the SAME engine loop and
+there is no control plane (the TPU answer to the reference's SHM RPC,
+SURVEY §5.8): correctness requires that two engines fed an identical request
+stream + seed compute byte-identical BatchMeta at every step. This test
+simulates two hosts as two engine instances (separate schedulers, block
+managers, prefix-cache hash maps, global seq-id counters at different
+offsets) under a preemption-inducing workload and asserts the dispatched
+metas are byte-identical step for step.
+"""
+
+import numpy as np
+
+from nanovllm_tpu.config import ModelConfig
+from nanovllm_tpu.engine.batch import build_decode_meta, build_prefill_meta
+from nanovllm_tpu.llm import LLM
+from nanovllm_tpu.sampling_params import SamplingParams
+
+MC = ModelConfig(
+    hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+    num_attention_heads=4, num_key_value_heads=2, head_dim=16,
+    vocab_size=128, max_position_embeddings=512, eos_token_id=0,
+)
+
+
+def make_llm(**over):
+    kw = dict(
+        model_config=MC, max_num_batched_tokens=256, max_num_seqs=4,
+        max_model_len=128, kvcache_block_size=16,
+        # Tight page budget: decode reservations must preempt from the tail
+        # (the recompute path must also replay identically on every "host").
+        num_kvcache_blocks=8,
+        attn_backend="ref", dtype="float32", load_format="random", seed=0,
+        decode_steps=4,
+    )
+    kw.update(over)
+    return LLM("", **kw)
+
+
+def drive_and_log(llm, prompts, sps):
+    """Run generate() while recording the exact raw meta bytes of every
+    dispatched step (re-built with the same pure functions runner.run uses,
+    from the same scheduled sequence state)."""
+    runner = llm.model_runner
+    cfg = llm.config
+    log = []
+    orig = runner.run
+
+    def run(seqs, is_prefill, num_steps=1):
+        key = runner.bucket_key(seqs, is_prefill, num_steps)
+        if is_prefill:
+            raw = build_prefill_meta(seqs, key[1], key[2],
+                                     cfg.kvcache_block_size,
+                                     cfg.pages_per_seq, runner.num_slots,
+                                     q_tile=cfg.prefill_q_tile)
+        else:
+            raw = build_decode_meta(seqs, key[1], cfg.kvcache_block_size,
+                                    cfg.pages_per_seq, runner.num_slots)
+        log.append((key, {k: np.asarray(v).tobytes()
+                          for k, v in sorted(raw.items())}))
+        return orig(seqs, is_prefill, num_steps)
+
+    runner.run = run
+    outs = llm.generate(prompts, sps, use_tqdm=False)
+    return outs, log
+
+
+def test_two_engines_byte_identical_schedule():
+    shared = list(range(1, 20))
+    prompts = [
+        shared + [30, 31, 32],          # shares a prefix page with the next
+        shared + [40],
+        list(range(50, 95)),            # long: forces page pressure
+        [5, 9, 23],
+    ]
+    sps = [
+        SamplingParams(temperature=0.0, max_tokens=40, ignore_eos=True),
+        SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True),
+        SamplingParams(temperature=0.0, max_tokens=30, ignore_eos=True),
+        SamplingParams(temperature=0.0, max_tokens=60, ignore_eos=True),
+    ]
+    outs_a, log_a = drive_and_log(make_llm(), prompts, sps)
+    outs_b, log_b = drive_and_log(make_llm(), prompts, sps)
+
+    assert len(log_a) == len(log_b)
+    for i, ((key_a, meta_a), (key_b, meta_b)) in enumerate(zip(log_a, log_b)):
+        assert key_a == key_b, f"step {i}: bucket diverged {key_a} != {key_b}"
+        assert meta_a == meta_b, f"step {i}: BatchMeta bytes diverged"
+    for a, b in zip(outs_a, outs_b):
+        assert a["token_ids"] == b["token_ids"]
+    # The workload must actually exercise the preemption/recompute path,
+    # otherwise this test is vacuous for the hard case.
+    ll = make_llm()
+    drive_and_log(ll, prompts, sps)
+    preempted = ll.scheduler.num_preempted_total > 0
+    assert preempted, "workload no longer triggers preemption — retune pages"
+
+
+def test_native_and_python_cores_schedule_identically():
+    """The C++ block manager and the Python one must produce the same
+    schedule byte-for-byte (a multi-host deployment may mix them)."""
+    shared = list(range(1, 20))
+    prompts = [shared + [30, 31], list(range(50, 95)), [5, 9, 23]]
+    sps = SamplingParams(temperature=0.0, max_tokens=12, ignore_eos=True)
+    outs_n, log_n = drive_and_log(make_llm(native_core=True), prompts, sps)
+    outs_p, log_p = drive_and_log(make_llm(native_core=False), prompts, sps)
+    assert len(log_n) == len(log_p)
+    for (ka, ma), (kb, mb) in zip(log_n, log_p):
+        assert ka == kb and ma == mb
+    for a, b in zip(outs_n, outs_p):
+        assert a["token_ids"] == b["token_ids"]

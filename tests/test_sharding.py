@@ -50,3 +50,19 @@ def test_tp_pallas_backend_matches_single(single_out):
         PROMPTS, SP, use_tqdm=False)
     for o, ref in zip(outs, single_out):
         assert o["token_ids"] == ref
+
+
+def test_tp_int8_kv_pallas_matches_single():
+    """INT8 KV cache under tensor parallelism (pallas interpret mode): the
+    per-shard scale-block window layout (ops/kv_cache.create_kv_cache
+    num_shards>1, model_runner._scale_shards) must reproduce the tp=1 int8
+    tokens exactly — same quantization, only the psum placement differs."""
+    assert len(jax.devices()) >= 2
+    kw = dict(attn_backend="pallas", kv_cache_dtype="int8",
+              kvcache_block_size=128, prefill_q_tile=128,
+              max_model_len=256, num_kvcache_blocks=8)
+    base = [o["token_ids"] for o in
+            make_llm(1, **kw).generate(PROMPTS, SP, use_tqdm=False)]
+    outs = make_llm(2, **kw).generate(PROMPTS, SP, use_tqdm=False)
+    for o, ref in zip(outs, base):
+        assert o["token_ids"] == ref
