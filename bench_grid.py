@@ -15,14 +15,15 @@ from nanovllm_tpu import LLM, SamplingParams
 from bench import QWEN3_0_6B
 
 
-def run_cell(llm, bs: int, input_len: int, rng) -> float | None:
+def run_cell(llm, bs: int, input_len: int, rng, output_len: int = 0) -> float | None:
     # `rng` is ONE stream across the whole grid (the reference seeds once at
     # bench_my.py startup): re-seeding per cell would replay the same token
     # stream at a different sequence length, and the resulting cross-cell
     # prefix-cache hits make the untimed warmup run compile different jit
     # buckets than the timed runs — which then pay the compiles.
     vocab = llm.config.model_config.vocab_size
-    sp = SamplingParams(temperature=0.0, max_tokens=input_len, ignore_eos=True)
+    output_len = output_len or input_len
+    sp = SamplingParams(temperature=0.0, max_tokens=output_len, ignore_eos=True)
     try:
         # First run compiles this cell's jit buckets (the reference's CUDA
         # warmup role); best of two timed runs survives stragglers (a tail
@@ -36,7 +37,7 @@ def run_cell(llm, bs: int, input_len: int, rng) -> float | None:
             dt = time.perf_counter() - t0
             if timed:
                 best = min(best, dt)
-        return bs * input_len / best
+        return bs * output_len / best
     except Exception as e:  # XLA OOM surfaces as RuntimeError
         if "RESOURCE_EXHAUSTED" in str(e) or "Out of memory" in str(e):
             return None
@@ -57,9 +58,14 @@ def main():
     # bs=16 column the most.
     p.add_argument("--quant", default="int8", choices=["none", "int8", "int4"])
     p.add_argument("--decode-steps", type=int, default=64)
+    # 0 = output_len == input_len (the reference grid's convention); the
+    # reference's bs=32 latency sweep instead holds output at 512 while
+    # input grows (README.md:178-193 — elapsed * tok/s == 32*512 per row).
+    p.add_argument("--output-len", type=int, default=0)
     args = p.parse_args()
 
-    max_len = 2 * max(args.input_lens)
+    max_len = max(args.input_lens) + (args.output_len
+                                      or max(args.input_lens))
     results: dict[str, dict] = {}
     for backend in args.backends:
         llm = LLM(
@@ -79,7 +85,7 @@ def main():
         rng = np.random.default_rng(0)
         for bs in args.batch_sizes:
             for ln in args.input_lens:
-                tput = run_cell(llm, bs, ln, rng)
+                tput = run_cell(llm, bs, ln, rng, args.output_len)
                 results[f"{backend}/{bs}/{ln}"] = (
                     None if tput is None else round(tput, 1))
                 print(f"{backend:8s} bs={bs:<4d} len={ln:<6d} "
