@@ -73,6 +73,12 @@ def main():
     # 128 fused steps amortize the per-dispatch host round-trip to ~0.4 ms.
     p.add_argument("--decode-steps", type=int, default=128)
     p.add_argument("--max-model-len", type=int, default=None)
+    # Scaling-efficiency mode (north-star: >=85% tok/s efficiency 1 chip ->
+    # 1 host -> >=2 hosts): --tp N shards the model over N local chips;
+    # --distributed joins a pod slice first (jax.distributed.initialize) so
+    # the mesh spans hosts. Efficiency = (tok/s at N) / (N * tok/s at 1).
+    p.add_argument("--tp", type=int, default=1)
+    p.add_argument("--distributed", action="store_true")
     args = p.parse_args()
 
     max_model_len = args.max_model_len or (args.input_len + args.output_len)
@@ -87,6 +93,8 @@ def main():
         quant=args.quant,
         decode_steps=args.decode_steps,
         load_format="auto" if args.model else "random",
+        tensor_parallel_size=args.tp,
+        distributed=args.distributed,
     )
 
     def vocab_of(llm):
@@ -137,6 +145,8 @@ def main():
         tag += "+kv4"
     if args.quant != "none":
         tag += f"+w{args.quant[3:]}"
+    if args.tp > 1:
+        tag += f"+tp{args.tp}"
     import sys
     summary = llm.metrics.summary()
     print("engine metrics:", json.dumps(summary), file=sys.stderr)

@@ -1,11 +1,17 @@
-"""Per-request state machine.
+"""Per-request record: a growable token buffer + paging/serving state.
 
-Reference: nanovllm/engine/sequence.py. Differences by design:
-- block_size is injected per-instance (the reference hard-codes 256 at class
-  level while the config flows elsewhere — SURVEY §2.5); here the scheduler
-  constructs sequences with the configured page size, one source of truth.
-- No custom pickle wire format: TPU SPMD has no per-rank RPC plane, every
-  host runs the same engine loop, so sequences never cross a process boundary.
+Fills the role of the reference's Sequence (nanovllm/engine/sequence.py) with
+a different shape:
+- Tokens live in ONE numpy buffer with amortized-doubling append; batch prep
+  (engine/batch.py) and the C++ core (engine/native_core.py) slice it
+  zero-copy instead of re-converting Python lists every step.
+- The page size is injected per instance from the engine config — the
+  reference hard-codes 256 at class level while the configurable value flows
+  elsewhere (SURVEY §2.5); here there is one source of truth.
+- No custom pickle wire format (reference sequence.py:77-90): TPU SPMD has no
+  per-rank RPC plane, sequences never cross a process boundary.
+- Only the members the engine actually consumes exist; derived views the
+  reference carried but nothing read are gone.
 """
 
 from __future__ import annotations
@@ -13,6 +19,8 @@ from __future__ import annotations
 import time
 from enum import Enum, auto
 from itertools import count
+
+import numpy as np
 
 from nanovllm_tpu.sampling_params import SamplingParams
 
@@ -24,73 +32,82 @@ class SequenceStatus(Enum):
 
 
 class Sequence:
-    counter = count()
+    __slots__ = ("seq_id", "status", "arrival_t", "first_token_t",
+                 "prompt_len", "num_cached_tokens", "block_table",
+                 "temperature", "max_tokens", "ignore_eos",
+                 "_page_size", "_toks", "_n")
 
-    def __init__(
-        self,
-        token_ids: list[int],
-        sampling_params: SamplingParams | None = None,
-        block_size: int = 64,
-    ):
-        sampling_params = sampling_params or SamplingParams()
-        self.seq_id = next(Sequence.counter)
+    _ids = count()
+
+    def __init__(self, token_ids, sampling_params: SamplingParams | None = None,
+                 block_size: int = 64):
+        sp = sampling_params or SamplingParams()
+        n = len(token_ids)
+        assert n > 0, "empty prompt"
+        self.seq_id = next(Sequence._ids)
+        self.status = SequenceStatus.WAITING
         self.arrival_t = time.perf_counter()
         self.first_token_t: float | None = None
-        self.status = SequenceStatus.WAITING
-        self.token_ids = list(token_ids)
-        self.last_token = token_ids[-1]
-        self.num_tokens = len(self.token_ids)
-        self.num_prompt_tokens = len(token_ids)
+        self.prompt_len = n
+        # Paging state, owned jointly with the block manager: the pages
+        # backing this sequence and how many leading tokens already have KV
+        # in the cache (prefix hits + this dispatch's committed tokens).
         self.num_cached_tokens = 0
-        self.block_size = block_size
         self.block_table: list[int] = []
-        self.temperature = sampling_params.temperature
-        self.max_tokens = sampling_params.max_tokens
-        self.ignore_eos = sampling_params.ignore_eos
+        self.temperature = sp.temperature
+        self.max_tokens = sp.max_tokens
+        self.ignore_eos = sp.ignore_eos
+        self._page_size = block_size
+        self._toks = np.empty(max(2 * n, 64), np.int64)
+        self._toks[:n] = token_ids
+        self._n = n
 
     def __len__(self) -> int:
-        return self.num_tokens
+        return self._n
 
-    def __getitem__(self, key):
-        return self.token_ids[key]
+    def append_token(self, token_id: int) -> None:
+        if self._n == self._toks.shape[0]:
+            grown = np.empty(2 * self._n, np.int64)
+            grown[: self._n] = self._toks
+            self._toks = grown
+        self._toks[self._n] = token_id
+        self._n += 1
+
+    # ------------------------------------------------------------- views
+    @property
+    def token_ids(self) -> np.ndarray:
+        """All tokens so far (zero-copy view — do not mutate)."""
+        return self._toks[: self._n]
 
     @property
-    def is_finished(self) -> bool:
-        return self.status == SequenceStatus.FINISHED
+    def last_token(self) -> int:
+        return int(self._toks[self._n - 1])
+
+    @property
+    def num_tokens(self) -> int:
+        return self._n
 
     @property
     def num_completion_tokens(self) -> int:
-        return self.num_tokens - self.num_prompt_tokens
-
-    @property
-    def prompt_token_ids(self) -> list[int]:
-        return self.token_ids[: self.num_prompt_tokens]
+        return self._n - self.prompt_len
 
     @property
     def completion_token_ids(self) -> list[int]:
-        return self.token_ids[self.num_prompt_tokens:]
+        return self._toks[self.prompt_len: self._n].tolist()
 
-    @property
-    def num_cached_blocks(self) -> int:
-        return self.num_cached_tokens // self.block_size
-
+    # --------------------------------------------------------- page views
     @property
     def num_blocks(self) -> int:
-        return (self.num_tokens + self.block_size - 1) // self.block_size
+        """Pages needed to hold every token (last one may be partial)."""
+        return -(-self._n // self._page_size)
 
-    @property
-    def last_block_num_tokens(self) -> int:
-        return self.num_tokens - (self.num_blocks - 1) * self.block_size
+    def block(self, i: int) -> np.ndarray:
+        """Tokens living in page i of this sequence (zero-copy view)."""
+        ps = self._page_size
+        assert 0 <= i * ps < self._n
+        return self._toks[i * ps: min((i + 1) * ps, self._n)]
 
-    def block(self, i: int) -> list[int]:
-        assert 0 <= i < self.num_blocks
-        return self.token_ids[i * self.block_size:(i + 1) * self.block_size]
-
-    def append_token(self, token_id: int) -> None:
-        self.token_ids.append(token_id)
-        self.last_token = token_id
-        self.num_tokens += 1
-
+    # ------------------------------------------------------------ control
     def reset_for_recompute(self) -> None:
         """Preemption drops all device state; the sequence re-prefills from
         scratch (prefix cache softens the recompute — reference
