@@ -117,8 +117,14 @@ class ModelRunner:
             host_params = load_params(cfg.model, mc, self.dtype)
         if cfg.quant != "none":
             from nanovllm_tpu.ops.quant import quantize_params
+            # INT4 uses the nibble-packed Pallas matmul under tp=1; with
+            # tensor parallelism the matmuls are GSPMD-partitioned (a Pallas
+            # call would need its own shard_map), so keep jnp.int4 leaves
+            # there (CPU-correct; the TPU runtime can't pass S4 jit args —
+            # ops/qmm_pallas.py — so int4+tp>1 is CPU/test-only for now).
             host_params = quantize_params(
-                host_params, 8 if cfg.quant == "int8" else 4)
+                host_params, 8 if cfg.quant == "int8" else 4,
+                pack=None if cfg.tensor_parallel_size == 1 else False)
         shardings = param_shardings(self.mesh, host_params)
         self.params = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a), s),

@@ -14,15 +14,23 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w, bits: int = 8):
+def quantize_weight(w, bits: int = 8, pack: bool = False):
     """w: [..., in, out] -> {"q": int8|int4 [..., in, out],
-    "s": f32 [..., 1, out]} with per-output-channel absmax scales."""
+    "s": f32 [..., 1, out]} with per-output-channel absmax scales.
+
+    pack=True (bits=4 only) stores nibble-packed int8 [..., in//2, out] under
+    key "q4" instead — the form the Pallas dequant matmul streams (this TPU
+    runtime cannot pass jnp.int4 jit arguments; see ops/qmm_pallas.py)."""
     assert bits in (8, 4)
     wf = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, out]
     qmax = 127.0 if bits == 8 else 7.0
     s = jnp.maximum(absmax / qmax, 1e-10)
     q = jnp.clip(jnp.round(wf / s), -qmax, qmax)
+    if pack:
+        assert bits == 4
+        from nanovllm_tpu.ops.qmm_pallas import pack_rows_int4
+        return {"q4": pack_rows_int4(q.astype(jnp.int8)), "s": s}
     dtype = jnp.int8 if bits == 8 else jnp.int4
     return {"q": q.astype(dtype), "s": s}
 
@@ -34,6 +42,10 @@ def qmm(x, w, preferred=None):
     fp32 accumulation on the MXU, then the per-channel scale.
     """
     if isinstance(w, dict):
+        if "q4" in w:  # nibble-packed: Pallas kernel, dequant in VMEM tiles
+            from nanovllm_tpu.ops.qmm_pallas import qmm_int4
+            return qmm_int4(x, w["q4"], w["s"],
+                            out_dtype=preferred or x.dtype)
         y = jnp.matmul(x, w["q"].astype(x.dtype),
                        preferred_element_type=jnp.float32)
         y = y * w["s"][..., 0, :]
@@ -44,12 +56,17 @@ def qmm(x, w, preferred=None):
 QUANT_WEIGHTS = ("wq", "wk", "wv", "o", "gate", "up", "down")
 
 
-def quantize_params(params: dict, bits: int) -> dict:
+def quantize_params(params: dict, bits: int, pack: bool | None = None) -> dict:
     """Quantize the stacked layer matmuls + lm_head (embedding gather stays
-    wide; norms stay fp)."""
+    wide; norms stay fp). bits=4 defaults to the nibble-packed Pallas form
+    (see quantize_weight); pass pack=False to keep jnp.int4 leaves (GSPMD-
+    shardable, but unusable as jit arguments on the TPU runtime)."""
+    if pack is None:
+        pack = bits == 4
     out = dict(params)
     out["layers"] = dict(params["layers"])
     for name in QUANT_WEIGHTS:
-        out["layers"][name] = quantize_weight(params["layers"][name], bits)
-    out["lm_head"] = quantize_weight(params["lm_head"], bits)
+        out["layers"][name] = quantize_weight(params["layers"][name], bits,
+                                              pack)
+    out["lm_head"] = quantize_weight(params["lm_head"], bits, pack)
     return out

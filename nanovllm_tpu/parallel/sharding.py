@@ -44,10 +44,13 @@ def param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
         return base
 
     def adapt(spec_sh, leaf):
-        if isinstance(leaf, dict):  # quantized {"q": [..., in, out], "s": [..., 1, out]}
+        if isinstance(leaf, dict):
+            # Quantized: {"q"|"q4": [..., in(/2), out], "s": [..., 1, out]}.
             spec = spec_sh.spec
             s_spec = P(*(list(spec[:-2]) + [None, spec[-1]]))
-            return {"q": spec_sh, "s": NamedSharding(mesh, s_spec)}
+            out = {k: spec_sh for k in leaf if k != "s"}
+            out["s"] = NamedSharding(mesh, s_spec)
+            return out
         return spec_sh
 
     def walk(sh, pr):
