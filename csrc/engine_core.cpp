@@ -324,4 +324,73 @@ void build_decode_meta(
   }
 }
 
+// ------------------------------------------------ prefill meta builder
+// Host prep for a prefill dispatch (reference prepare_prefill,
+// engine/model_runner.py:171-241): only each sequence's UNCACHED suffix
+// becomes query tokens; cached pages stay visible through the block table.
+// Each sequence's query segment starts at a multiple of q_tile in the flat
+// layout (the ragged Pallas prefill kernel's tiling contract). Buffers are
+// sized by the caller: T tokens, S seqs, T/q_tile tiles.
+// suffix_concat holds each sequence's uncached tokens back to back.
+void build_prefill_meta(
+    int64_t n, int64_t T, int64_t S, int64_t page_size, int64_t pages_per_seq,
+    int64_t num_slots, int64_t q_tile,
+    const int64_t* suffix_concat, const int64_t* seq_lens,
+    const int64_t* cached_lens, const int32_t* tables_concat,
+    const int64_t* table_lens, const float* temps,
+    int32_t* input_ids, int32_t* positions, int32_t* slot_mapping,
+    int32_t* seq_idx, int32_t* q_offset, int32_t* block_tables,
+    int32_t* context_lens, int32_t* last_token_idx, float* temperatures,
+    int32_t* tile_seq, int32_t* tile_pos0) {
+  int64_t nt = T / q_tile;
+  for (int64_t i = 0; i < T; i++) {
+    input_ids[i] = 0;
+    positions[i] = 0;
+    slot_mapping[i] = (int32_t)num_slots;
+    seq_idx[i] = (int32_t)S;
+    q_offset[i] = 0;
+  }
+  std::memset(block_tables, 0, (size_t)(S * pages_per_seq) * 4);
+  for (int64_t s = 0; s < S; s++) {
+    context_lens[s] = 0;
+    last_token_idx[s] = (int32_t)(T - 1);
+    temperatures[s] = 0.0f;
+  }
+  for (int64_t ti = 0; ti < nt; ti++) {
+    tile_seq[ti] = (int32_t)S;
+    tile_pos0[ti] = -1;
+  }
+  int64_t t = 0, suf_off = 0, tab_off = 0;
+  for (int64_t s = 0; s < n; s++) {
+    int64_t cached = cached_lens[s];
+    int64_t len = seq_lens[s];
+    int64_t n_new = len - cached;
+    const int64_t* ids = suffix_concat + suf_off;
+    const int32_t* bt = tables_concat + tab_off;
+    int64_t tl = table_lens[s];
+    for (int64_t j = 0; j < n_new; j++) {
+      int64_t pos = cached + j;
+      input_ids[t + j] = (int32_t)ids[j];
+      positions[t + j] = (int32_t)pos;
+      seq_idx[t + j] = (int32_t)s;
+      q_offset[t + j] = (int32_t)j;
+      slot_mapping[t + j] =
+          bt[pos / page_size] * (int32_t)page_size + (int32_t)(pos % page_size);
+    }
+    std::memcpy(block_tables + s * pages_per_seq, bt, tl * 4);
+    context_lens[s] = (int32_t)len;
+    last_token_idx[s] = (int32_t)(t + n_new - 1);
+    temperatures[s] = temps[s];
+    int64_t n_tiles = (n_new + q_tile - 1) / q_tile;
+    int64_t t0 = t / q_tile;
+    for (int64_t k = 0; k < n_tiles; k++) {
+      tile_seq[t0 + k] = (int32_t)s;
+      tile_pos0[t0 + k] = (int32_t)(cached + k * q_tile);
+    }
+    t += n_tiles * q_tile;
+    suf_off += n_new;
+    tab_off += tl;
+  }
+}
+
 }  // extern "C"

@@ -364,9 +364,16 @@ class ModelRunner:
         key = self.bucket_key(seqs, is_prefill, num_steps)
         _, t, s, _, _, _ = key
         if is_prefill:
-            raw = build_prefill_meta(seqs, t, s, cfg.kvcache_block_size,
-                                     cfg.pages_per_seq, self.num_slots,
-                                     q_tile=cfg.prefill_q_tile)
+            raw = None
+            if cfg.native_core:
+                from nanovllm_tpu.engine.native_core import native_prefill_meta
+                raw = native_prefill_meta(seqs, t, s, cfg.kvcache_block_size,
+                                          cfg.pages_per_seq, self.num_slots,
+                                          q_tile=cfg.prefill_q_tile)
+            if raw is None:
+                raw = build_prefill_meta(seqs, t, s, cfg.kvcache_block_size,
+                                         cfg.pages_per_seq, self.num_slots,
+                                         q_tile=cfg.prefill_q_tile)
         else:
             raw = None
             if cfg.native_core:

@@ -79,6 +79,11 @@ def _build_and_load():
         c_i64, c_i64, c_i64, c_i64, c_i64,
         p_i64, p_i64, p_i32, p_i64, p_f32,
         p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_f32]
+    lib.build_prefill_meta.argtypes = [
+        c_i64, c_i64, c_i64, c_i64, c_i64, c_i64, c_i64,
+        p_i64, p_i64, p_i64, p_i32, p_i64, p_f32,
+        p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_i32, p_f32,
+        p_i32, p_i32]
     return lib
 
 
@@ -188,6 +193,55 @@ def make_block_manager(num_blocks: int, block_size: int, native: bool = True):
         return NativeBlockManager(num_blocks, block_size)
     from nanovllm_tpu.engine.block_manager import BlockManager
     return BlockManager(num_blocks, block_size)
+
+
+def native_prefill_meta(seqs, T: int, S: int, page_size: int,
+                        pages_per_seq: int, num_slots: int,
+                        q_tile: int = 1) -> dict | None:
+    """C++ fast path for build_prefill_meta (same contract as
+    engine/batch.py's; differentially tested). Returns None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    n = len(seqs)
+    nt = T // q_tile
+    suffix = (np.concatenate([np.asarray(s.token_ids[s.num_cached_tokens:],
+                                         np.int64) for s in seqs])
+              if n else np.empty(0, np.int64))
+    lens = np.fromiter((len(s) for s in seqs), np.int64, n)
+    cached = np.fromiter((s.num_cached_tokens for s in seqs), np.int64, n)
+    tlens = np.fromiter((len(s.block_table) for s in seqs), np.int64, n)
+    tables = np.concatenate(
+        [np.asarray(s.block_table, np.int32) for s in seqs]) if n else \
+        np.empty(0, np.int32)
+    temps = np.fromiter((s.temperature for s in seqs), np.float32, n)
+    input_ids = np.empty(T, np.int32)
+    positions = np.empty(T, np.int32)
+    slot_mapping = np.empty(T, np.int32)
+    seq_idx = np.empty(T, np.int32)
+    q_offset = np.empty(T, np.int32)
+    block_tables = np.empty((S, pages_per_seq), np.int32)
+    context_lens = np.empty(S, np.int32)
+    last_token_idx = np.empty(S, np.int32)
+    temperatures = np.empty(S, np.float32)
+    tile_seq = np.empty(max(nt, 1), np.int32)
+    tile_pos0 = np.empty(max(nt, 1), np.int32)
+    lib.build_prefill_meta(
+        n, T, S, page_size, pages_per_seq, num_slots, q_tile,
+        suffix, lens, cached, tables, tlens, temps,
+        input_ids, positions, slot_mapping, seq_idx, q_offset,
+        block_tables.reshape(-1), context_lens, last_token_idx, temperatures,
+        tile_seq, tile_pos0)
+    if nt == 0:
+        tile_seq = np.zeros(1, np.int32)
+        tile_pos0 = np.full(1, -1, np.int32)
+    return dict(
+        input_ids=input_ids, positions=positions, slot_mapping=slot_mapping,
+        seq_idx=seq_idx, q_offset=q_offset, block_tables=block_tables,
+        context_lens=context_lens, last_token_idx=last_token_idx,
+        temperatures=temperatures, tile_seq=tile_seq, tile_pos0=tile_pos0,
+    )
 
 
 def native_decode_meta(seqs, S: int, page_size: int, pages_per_seq: int,

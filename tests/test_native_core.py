@@ -133,3 +133,34 @@ def test_engine_uses_native_core_when_enabled():
                  num_kvcache_blocks=8, native_core=True)
     sch = Scheduler(cfg)
     assert isinstance(sch.block_manager, native_core.NativeBlockManager)
+
+
+def test_prefill_meta_builder_matches_python():
+    from nanovllm_tpu.engine.batch import build_prefill_meta, cdiv
+    rng = np.random.default_rng(11)
+    page, pps, num_slots, q_tile = 16, 8, 16 * 100, 32
+    for trial in range(4):
+        seqs = []
+        total_tiles = 0
+        for i in range(int(rng.integers(1, 6))):
+            n = int(rng.integers(2, page * pps - 4))
+            s = make_seq(rng.integers(0, 1000, n).tolist(), block_size=page)
+            # random cached prefix (page-aligned, < n like the allocator
+            # guarantees)
+            s.num_cached_tokens = int(rng.integers(0, max(n // page, 1))) * page
+            if s.num_cached_tokens >= n:
+                s.num_cached_tokens = 0
+            s.block_table = rng.permutation(100)[: cdiv(n, page)].tolist()
+            s.temperature = float(rng.random())
+            seqs.append(s)
+            total_tiles += cdiv(n - s.num_cached_tokens, q_tile)
+        T = max(q_tile, 1 << (total_tiles * q_tile - 1).bit_length())
+        S = 8
+        ref = build_prefill_meta(seqs, T, S, page, pps, num_slots,
+                                 q_tile=q_tile)
+        nat = native_core.native_prefill_meta(seqs, T, S, page, pps,
+                                              num_slots, q_tile=q_tile)
+        assert nat is not None
+        for key, val in ref.items():
+            np.testing.assert_array_equal(val, nat[key],
+                                          err_msg=f"trial {trial}: {key}")
