@@ -74,7 +74,11 @@ class ModelConfig:
             rope_theta=hf.get("rope_theta", 10000.0),
             max_position_embeddings=hf.get("max_position_embeddings", 32768),
             tie_word_embeddings=hf.get("tie_word_embeddings", False),
-            attention_bias=hf.get("attention_bias", False),
+            # Qwen2/2.5 hard-code QKV biases in their modeling code; the
+            # config.json has no attention_bias field.
+            attention_bias=hf.get(
+                "attention_bias",
+                (hf.get("architectures") or [""])[0].startswith("Qwen2")),
             qk_norm="Qwen3" in (hf.get("architectures") or ["Qwen3"])[0],
             eos_token_id=eos,
             bos_token_id=hf.get("bos_token_id", 151643),

@@ -57,9 +57,14 @@ def _layer(x, residual, lp, cache, layer_i, meta, cfg: ModelConfig, attn_fn,
 
     h, residual = add_rms_norm(x, residual, lp["input_ln"], eps)
 
-    q = qmm(h, lp["wq"]).reshape(t, hq, d)
-    k = qmm(h, lp["wk"]).reshape(t, hkv, d)
-    v = qmm(h, lp["wv"]).reshape(t, hkv, d)
+    q = qmm(h, lp["wq"])
+    k = qmm(h, lp["wk"])
+    v = qmm(h, lp["wv"])
+    if "bq" in lp:  # Qwen2/2.5-style QKV biases
+        q, k, v = q + lp["bq"], k + lp["bk"], v + lp["bv"]
+    q = q.reshape(t, hq, d)
+    k = k.reshape(t, hkv, d)
+    v = v.reshape(t, hkv, d)
     if cfg.qk_norm:
         q = rms_norm(q, lp["q_norm"], eps)
         k = rms_norm(k, lp["k_norm"], eps)

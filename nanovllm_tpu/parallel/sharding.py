@@ -40,6 +40,10 @@ def param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
         "final_ln": rep,
         "lm_head": ns(None, "tp"),
     }
+    if params is not None and "bq" in params["layers"]:
+        # QKV biases shard with their matmul's output dim.
+        base["layers"].update(bq=ns(None, "tp"), bk=ns(None, "tp"),
+                              bv=ns(None, "tp"))
     if params is None:
         return base
 

@@ -28,21 +28,26 @@ def param_shapes(cfg: ModelConfig) -> dict:
     Hkv = cfg.num_key_value_heads
     I = cfg.intermediate_size
     V = cfg.vocab_size
+    layers = {
+        "input_ln": (L, H),
+        "wq": (L, H, Hq * D),
+        "wk": (L, H, Hkv * D),
+        "wv": (L, H, Hkv * D),
+        "q_norm": (L, D),
+        "k_norm": (L, D),
+        "o": (L, Hq * D, H),
+        "post_ln": (L, H),
+        "gate": (L, H, I),
+        "up": (L, H, I),
+        "down": (L, I, H),
+    }
+    if cfg.attention_bias:  # Qwen2/2.5-style QKV biases
+        layers["bq"] = (L, Hq * D)
+        layers["bk"] = (L, Hkv * D)
+        layers["bv"] = (L, Hkv * D)
     return {
         "embed": (V, H),
-        "layers": {
-            "input_ln": (L, H),
-            "wq": (L, H, Hq * D),
-            "wk": (L, H, Hkv * D),
-            "wv": (L, H, Hkv * D),
-            "q_norm": (L, D),
-            "k_norm": (L, D),
-            "o": (L, Hq * D, H),
-            "post_ln": (L, H),
-            "gate": (L, H, I),
-            "up": (L, H, I),
-            "down": (L, I, H),
-        },
+        "layers": layers,
         "final_ln": (H,),
         "lm_head": (H, V),
     }
@@ -60,6 +65,8 @@ def init_random_params(cfg: ModelConfig, dtype=jnp.bfloat16, seed: int = 0):
         name = path[-1]
         if name in norm_names:
             return jnp.ones(shape, dtype)
+        if name in ("bq", "bk", "bv"):
+            return jnp.zeros(shape, dtype)
         key, sub = jax.random.split(key)
         return (jax.random.normal(sub, shape, jnp.float32) * 0.02).astype(dtype)
 
@@ -139,6 +146,12 @@ def _place(params, name, t, cfg, D, Hq, Hkv, I):
         lp["wk"][layer] = t.T
     elif rest == "self_attn.v_proj.weight":
         lp["wv"][layer] = t.T
+    elif rest == "self_attn.q_proj.bias" and "bq" in lp:
+        lp["bq"][layer] = t
+    elif rest == "self_attn.k_proj.bias" and "bk" in lp:
+        lp["bk"][layer] = t
+    elif rest == "self_attn.v_proj.bias" and "bv" in lp:
+        lp["bv"][layer] = t
     elif rest == "self_attn.o_proj.weight":
         lp["o"][layer] = t.T
     elif rest == "mlp.gate_proj.weight":
