@@ -177,6 +177,47 @@ def bench_prefill(t, hq=16, hkv=8, d=128, page_size=128, q_tile=128,
     return dt, flops / dt / 1e12
 
 
+def bench_qmm(t, k, n, mode):
+    """Weight-matmul micro-bench: XLA bf16 / XLA int8-dequant / Pallas
+    int4-packed. Returns (sec/call, weight GB/s) — the weight read is the
+    traffic that matters in low-batch decode."""
+    from nanovllm_tpu.ops.quant import qmm, quantize_weight
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (t, k), jnp.bfloat16)
+    w = jax.random.normal(key, (k, n), jnp.float32)
+    if mode == "bf16":
+        wq = w.astype(jnp.bfloat16)
+        wbytes = k * n * 2
+    elif mode == "int8":
+        wq = quantize_weight(w, bits=8)
+        wbytes = k * n
+    else:  # int4
+        wq = quantize_weight(w, bits=4, pack=True)
+        wbytes = k * n // 2
+
+    # Chain via a projection back to x's shape so iterations serialize.
+    from jax import lax
+
+    @jax.jit
+    def chain(xx):
+        def body(c, _):
+            y = qmm(c, wq)
+            # fold back to [t, k] so the next call consumes it
+            return y[:, :k].astype(c.dtype), ()
+        y, _ = lax.scan(body, xx, length=20)
+        return y
+
+    assert n >= k, "chain trick needs n >= k"
+    np.asarray(chain(x))[0, 0]
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        np.asarray(chain(x))[0, 0]
+        best = min(best, time.perf_counter() - t0)
+    dt = best / 20
+    return dt, wbytes / dt / 1e9
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--decode-bs", nargs="+", type=int, default=[16, 64, 256])
@@ -194,8 +235,19 @@ def main():
                    help="extra never-read pages: detects per-iteration cache "
                         "copies in the timing harness (time must not grow)")
     p.add_argument("--skip-prefill", action="store_true")
+    p.add_argument("--qmm", action="store_true",
+                   help="weight-matmul micro-bench (bf16 / int8 / int4)")
     args = p.parse_args()
     print(f"device: {jax.devices()[0]}")
+    if args.qmm:
+        print("\n== weight matmul (x[t,k] @ w[k,n]) ==")
+        for t in (8, 64, 256):
+            for mode in ("bf16", "int8", "int4"):
+                dt, gbps = bench_qmm(t, 1024, 3072, mode)
+                print(f"t={t:<4d} k=1024 n=3072 {mode:<5s} "
+                      f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s weight-read",
+                      flush=True)
+        return
     import jax.numpy as _jnp
     kv_dtype = _jnp.bfloat16 if args.kv_dtype == "bfloat16" else _jnp.int8
     print(f"\n== paged decode kernel ({args.kv_dtype} KV) ==")
