@@ -44,6 +44,10 @@ class BatchMeta:
     # sequence). tile_pos0 == -1 marks a padding tile.
     tile_seq: jax.Array     # i32[NT]
     tile_pos0: jax.Array    # i32[NT]  global position of tile's first query
+    # Sampling filters (beyond-reference): only plumbed into the compiled
+    # step when some scheduled request enables them (ops/sampler.py).
+    top_ks: jax.Array | None = None   # i32[S], 0 = off
+    top_ps: jax.Array | None = None   # f32[S], 1.0 = off
 
 
 def build_prefill_meta(seqs, T: int, S: int, page_size: int, pages_per_seq: int,
@@ -72,6 +76,9 @@ def build_prefill_meta(seqs, T: int, S: int, page_size: int, pages_per_seq: int,
     tile_seq = np.full(nt, S, np.int32)
     tile_pos0 = np.full(nt, -1, np.int32)
 
+    top_ks = np.zeros(S, np.int32)
+    top_ps = np.ones(S, np.float32)
+
     t = 0
     for s, seq in enumerate(seqs):
         cached = seq.num_cached_tokens
@@ -90,6 +97,8 @@ def build_prefill_meta(seqs, T: int, S: int, page_size: int, pages_per_seq: int,
         context_lens[s] = len(seq)
         last_token_idx[s] = t + n_new - 1
         temperatures[s] = seq.temperature
+        top_ks[s] = seq.top_k
+        top_ps[s] = seq.top_p
         n_tiles = cdiv(n_new, q_tile)
         t0 = t // q_tile
         tile_seq[t0:t0 + n_tiles] = s
@@ -100,6 +109,7 @@ def build_prefill_meta(seqs, T: int, S: int, page_size: int, pages_per_seq: int,
         seq_idx=seq_idx, q_offset=q_offset, block_tables=block_tables,
         context_lens=context_lens, last_token_idx=last_token_idx,
         temperatures=temperatures, tile_seq=tile_seq, tile_pos0=tile_pos0,
+        top_ks=top_ks, top_ps=top_ps,
     )
 
 
@@ -118,6 +128,8 @@ def build_decode_meta(seqs, S: int, page_size: int, pages_per_seq: int,
     context_lens = np.zeros(S, np.int32)
     last_token_idx = np.arange(S, dtype=np.int32)
     temperatures = np.zeros(S, np.float32)
+    top_ks = np.zeros(S, np.int32)
+    top_ps = np.ones(S, np.float32)
 
     for s, seq in enumerate(seqs):
         input_ids[s] = seq.last_token
@@ -128,6 +140,8 @@ def build_decode_meta(seqs, S: int, page_size: int, pages_per_seq: int,
         block_tables[s, : len(bt)] = bt
         context_lens[s] = len(seq)
         temperatures[s] = seq.temperature
+        top_ks[s] = seq.top_k
+        top_ps[s] = seq.top_p
     n = len(seqs)
     if n < S:
         seq_idx[n:] = S
@@ -137,4 +151,5 @@ def build_decode_meta(seqs, S: int, page_size: int, pages_per_seq: int,
         context_lens=context_lens, last_token_idx=last_token_idx,
         temperatures=temperatures,
         tile_seq=np.zeros(1, np.int32), tile_pos0=np.full(1, -1, np.int32),
+        top_ks=top_ks, top_ps=top_ps,
     )

@@ -285,7 +285,11 @@ class ModelRunner:
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
-        is_prefill, t, s, qmax, pk, n_steps = key
+        is_prefill, t, s, qmax, pk, n_steps, filt = key
+        # Sampling filters (top-k / top-p) compile in only when a scheduled
+        # request uses them — the default program stays sort-free.
+        sample_args = (lambda m: (m.top_ks, m.top_ps)) if filt else \
+            (lambda m: (None, None))
         mc = self.mc
         attn_fn = self._attn_fn(is_prefill, qmax, pk)
         page_size = self.config.kvcache_block_size
@@ -295,7 +299,8 @@ class ModelRunner:
             def step(params, kv_cache, meta: BatchMeta, rng):
                 logits, kv_cache = qwen3.forward(params, mc, kv_cache, meta,
                                                  attn_fn)
-                tokens = sample(logits, meta.temperatures, rng)
+                tokens = sample(logits, meta.temperatures, rng,
+                                *sample_args(meta))
                 return kv_cache, tokens[None, :]
         else:
             # Fused multi-step decode: K forward+sample steps per dispatch,
@@ -313,7 +318,8 @@ class ModelRunner:
                     logits, cache = qwen3.forward(params, mc, cache, m,
                                                   attn_fn)
                     key, sub = jax.random.split(key)
-                    tokens = sample(logits, m.temperatures, sub)
+                    tokens = sample(logits, m.temperatures, sub,
+                                    *sample_args(m))
                     positions = jnp.where(valid, m.positions + 1, 0)
                     ctx = jnp.where(valid, m.context_lens + 1, 0)
                     slot = (m.block_tables[seq_ar, positions // page_size]
@@ -340,6 +346,7 @@ class ModelRunner:
         backend."""
         cfg = self.config
         pk = cfg.pages_per_seq
+        filt = any(s2.top_k > 0 or s2.top_p < 1.0 for s2 in seqs)
         if is_prefill:
             tq = cfg.prefill_q_tile
             total = sum(cdiv(len(s) - s.num_cached_tokens, tq) * tq
@@ -351,10 +358,10 @@ class ModelRunner:
                                          for s2 in seqs), 256), t)
             else:
                 qmax = t  # unused by the Pallas ragged prefill
-            return (True, t, s, qmax, pk, 1)
+            return (True, t, s, qmax, pk, 1, filt)
         s = min(next_bucket(len(seqs), DECODE_BUCKETS),
                 next_pow2(cfg.max_num_seqs))
-        return (False, s, s, 1, pk, num_steps)
+        return (False, s, s, 1, pk, num_steps, filt)
 
     # --------------------------------------------------------------- run
     def run(self, seqs, is_prefill: bool, num_steps: int = 1) -> list[list[int]]:
@@ -362,7 +369,7 @@ class ModelRunner:
         (prefill: single-token lists)."""
         cfg = self.config
         key = self.bucket_key(seqs, is_prefill, num_steps)
-        _, t, s, _, _, _ = key
+        _, t, s = key[:3]
         if is_prefill:
             raw = None
             if cfg.native_core:
@@ -415,7 +422,7 @@ class ModelRunner:
                     next_pow2(cfg.max_num_seqs))
             raw = build_decode_meta([], s, cfg.kvcache_block_size, pk,
                                     self.num_slots)
-            self._run_pad_step((False, s, s, 1, pk, steps), raw)
+            self._run_pad_step((False, s, s, 1, pk, steps, False), raw)
         for tokens, nseqs in prefill:
             tq = cfg.prefill_q_tile
             t = next_pow2(tokens, max(128, tq))
@@ -424,7 +431,7 @@ class ModelRunner:
                 cfg.attn_backend == "ref" else t
             raw = build_prefill_meta([], t, s, cfg.kvcache_block_size, pk,
                                      self.num_slots, q_tile=tq)
-            self._run_pad_step((True, t, s, qmax, pk, 1), raw)
+            self._run_pad_step((True, t, s, qmax, pk, 1, False), raw)
         if decode_bs or prefill:
             logger.info("warmup compiled %d decode + %d prefill buckets "
                         "in %.1fs", len(tuple(decode_bs)),

@@ -241,7 +241,19 @@ def native_prefill_meta(seqs, T: int, S: int, page_size: int,
         seq_idx=seq_idx, q_offset=q_offset, block_tables=block_tables,
         context_lens=context_lens, last_token_idx=last_token_idx,
         temperatures=temperatures, tile_seq=tile_seq, tile_pos0=tile_pos0,
+        **_filter_arrays(seqs, S),
     )
+
+
+def _filter_arrays(seqs, S: int) -> dict:
+    """Sampling-filter columns (filled host-side; the C++ ABI stays
+    temperature-only — these are two [S] fills, not a hot loop)."""
+    top_ks = np.zeros(S, np.int32)
+    top_ps = np.ones(S, np.float32)
+    for s, seq in enumerate(seqs):
+        top_ks[s] = seq.top_k
+        top_ps[s] = seq.top_p
+    return dict(top_ks=top_ks, top_ps=top_ps)
 
 
 def native_decode_meta(seqs, S: int, page_size: int, pages_per_seq: int,
@@ -277,4 +289,5 @@ def native_decode_meta(seqs, S: int, page_size: int, pages_per_seq: int,
         last_token_idx=np.arange(S, dtype=np.int32),
         temperatures=temperatures,
         tile_seq=np.zeros(1, np.int32), tile_pos0=np.full(1, -1, np.int32),
+        **_filter_arrays(seqs, S),
     )

@@ -34,7 +34,7 @@ class SequenceStatus(Enum):
 class Sequence:
     __slots__ = ("seq_id", "status", "arrival_t", "first_token_t",
                  "prompt_len", "num_cached_tokens", "block_table",
-                 "temperature", "max_tokens", "ignore_eos",
+                 "temperature", "max_tokens", "ignore_eos", "top_k", "top_p",
                  "_page_size", "_toks", "_n")
 
     _ids = count()
@@ -57,6 +57,8 @@ class Sequence:
         self.temperature = sp.temperature
         self.max_tokens = sp.max_tokens
         self.ignore_eos = sp.ignore_eos
+        self.top_k = sp.top_k
+        self.top_p = sp.top_p
         self._page_size = block_size
         self._toks = np.empty(max(2 * n, 64), np.int64)
         self._toks[:n] = token_ids

@@ -48,6 +48,8 @@ class _Chunk:
     num_cached_tokens: int
     block_table: list
     temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
 
     def __len__(self):
         return len(self.token_ids)
