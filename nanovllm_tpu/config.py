@@ -127,6 +127,10 @@ class Config:
     # query segment is aligned to this in the flat token layout so every
     # q-tile belongs to exactly one sequence.
     prefill_q_tile: int = 128
+    # KV pages streamed per prefix chunk in the prefill kernel (0 = the
+    # kernel's default, 512 tokens' worth). Larger chunks amortize per-chunk
+    # fixed costs against more VMEM.
+    prefill_pages_per_chunk: int = 0
     # Decode steps fused into one on-device dispatch (lax.scan over forward +
     # sample + metadata advance). Amortizes host->TPU dispatch latency; the
     # TPU answer to the reference's CUDA-graph replay (model_runner.py:278-303)

@@ -248,6 +248,7 @@ class ModelRunner:
                 page_size=page_size, num_slots=self.num_slots,
                 num_layers=mc.num_hidden_layers,
                 q_tile=self.config.prefill_q_tile,
+                pages_per_chunk=self.config.prefill_pages_per_chunk,
                 interpret=self.mesh.devices.flat[0].platform == "cpu")
             if self.config.tensor_parallel_size == 1:
                 return fn

@@ -187,16 +187,20 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
 
 
 def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
-                       hkv, d, quantized, int4, dot_dtype, scale):
+                       hkv, d, quantized, int4, dot_dtype):
     """One online-softmax update over a KV chunk, per-head statically
     unrolled (prefill: q blocks are large, so per-head dots are already
     MXU-sized). carry: tuple over heads of (m, l, acc); q_heads: per-head
-    [rows, d] in dot_dtype (unscaled — scale applies to scores in f32);
-    kv_slot/s_slot: K/V-SPLIT chunk buffers (_mk_split_chunk_copies): the
-    chunk's K rows contiguous at kv_slot[:chunk], V at kv_slot[chunk:], so
-    each head's scores and probs·V are ONE dot over the full chunk (the
-    per-page dot/concat chains were the measured per-chunk fixed cost);
-    mask: [rows, chunk] bool. INT8 scales fold into scores/probs as
+    [rows, d] in dot_dtype with the softmax scale PRE-FOLDED (one multiply
+    on [rows, d] per tile instead of one on every [rows, chunk] score
+    block); kv_slot/s_slot: K/V-SPLIT chunk buffers
+    (_mk_split_chunk_copies): the chunk's K rows contiguous at
+    kv_slot[:chunk], V at kv_slot[chunk:], so each head's scores and
+    probs·V are ONE dot over the full chunk (the per-page dot/concat chains
+    were the measured per-chunk fixed cost); mask: [rows, chunk] bool, or
+    None for chunks that are provably fully valid (every streamed page
+    strictly below the tile's pos0 — the mask where/iota were ~2 of the ~6
+    VPU ops per score element). INT8 scales fold into scores/probs as
     [1, chunk] broadcast rows sliced from the transposed scale blocks
     (token-major lanes) — cheaper than dequantizing the K/V tiles."""
     chunk = ppc * ps
@@ -212,13 +216,14 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
         s = lax.dot_general(
             q_heads[h], k_chunk[:, hs].astype(dot_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale      # [rows, chunk]
+            preferred_element_type=jnp.float32)              # [rows, chunk]
         if quantized:
             krow = jnp.concatenate(
                 [s_slot[i * rpp + h:i * rpp + h + 1, :] for i in range(ppc)],
                 axis=1).astype(jnp.float32)                  # [1, chunk]
             s = s * krow
-        s = jnp.where(mask, s, MASK_VALUE)
+        if mask is not None:
+            s = jnp.where(mask, s, MASK_VALUE)
         m_curr = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m, m_curr)
         alpha = jnp.exp(m - m_next)
@@ -648,13 +653,13 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
 
 
 def _diag_heads(carry, q_heads, kr, vr, sc_ref, mask, tq, npw, rpp, ps, hkv,
-                d, quantized, int4, dot_dtype, scale):
+                d, quantized, int4, dot_dtype):
     """Online-softmax update over the tile's OWN (diagonal) K/V block,
     sourced from the VMEM input blocks rather than the cache — the tile
     never reads its freshly-written pages back from HBM, so the write DMAs
     need no wait before compute. kr/vr: [tq, Hkv*D] values (cache dtype);
     sc_ref: the tile's [npw*RPP, ps] transposed scale blocks (or None);
-    mask: [rows, tq]."""
+    mask: [rows, tq]. q_heads carry the softmax scale pre-folded."""
     if int4:
         kr = unpack_int4(kr, d)
         vr = unpack_int4(vr, d)
@@ -665,7 +670,7 @@ def _diag_heads(carry, q_heads, kr, vr, sc_ref, mask, tq, npw, rpp, ps, hkv,
         s = lax.dot_general(
             q_heads[h], kr[:, hs].astype(dot_dtype),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale     # [rows, tq]
+            preferred_element_type=jnp.float32)             # [rows, tq]
         if quantized:
             krow = jnp.concatenate(
                 [sc_ref[p * rpp + h:p * rpp + h + 1, :] for p in range(npw)],
@@ -818,9 +823,12 @@ def _prefill_kernel(
             c.start()
 
     rows = tq * g
-    # Row r of head-group h corresponds to query token r // g.
+    # Row r of head-group h corresponds to query token r // g. The softmax
+    # scale is folded into q here (one [rows, d] multiply per tile) instead
+    # of into every [rows, chunk] score block.
     q_heads = [
-        q_ref[:, h * g:(h + 1) * g, :].reshape(rows, d).astype(dot_dtype)
+        (q_ref[:, h * g:(h + 1) * g, :].reshape(rows, d)
+         .astype(jnp.float32) * scale).astype(dot_dtype)
         for h in range(hkv)
     ]
     init = tuple((jnp.full((rows, 1), MASK_VALUE, jnp.float32),
@@ -835,47 +843,62 @@ def _prefill_kernel(
     dmask = (kv_pos_d <= q_pos_d) & (kv_pos_d < ctx)
     carry = _diag_heads(init, q_heads, kr_ref[...], vr_ref[...],
                         sc_ref if quantized else None, dmask, tq, npw, rpp,
-                        ps, hkv, d, quantized, int4, dot_dtype, scale)
+                        ps, hkv, d, quantized, int4, dot_dtype)
 
-    def body(ci, carry):
-        slot = lax.rem(ci, 2)
+    def make_body(masked):
+        def body(ci, carry):
+            slot = lax.rem(ci, 2)
 
-        have_next = ci + 1 < n_pre
-        for pred, c in chunk_copies(si, ci + 1, lax.rem(ci + 1, 2), lim):
-            @pl.when(have_next & pred)
-            def _():
-                c.start()
+            have_next = ci + 1 < n_pre
+            for pred, c in chunk_copies(si, ci + 1, lax.rem(ci + 1, 2), lim):
+                @pl.when(have_next & pred)
+                def _():
+                    c.start()
 
-        for pred, c in chunk_copies(si, ci, slot, lim):
-            @pl.when(pred)
-            def _():
-                c.wait()
+            for pred, c in chunk_copies(si, ci, slot, lim):
+                @pl.when(pred)
+                def _():
+                    c.wait()
 
-        # Pages predicated off (at/past pos0 — the tile's own write region,
-        # never read: the diagonal block covers it from VMEM inputs) leave
-        # stale VMEM; zero their V region and scale block so p=0 lanes never
-        # multiply NaN (see the decode kernel's matching note).
-        n_need = lax.div(lim + ps - 1, ps)
-        for i in range(ppc):
-            @pl.when(ci * ppc + i >= n_need)
-            def _():
-                kv_buf[slot, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
-                    (ps, kv_buf.shape[2]), kv_buf.dtype)
-                if quantized:
-                    s_buf[slot, pl.ds(i * rpp, rpp), :] = jnp.zeros(
-                        (rpp, ps), s_buf.dtype)
+            if not masked:
+                # Every page of this chunk is strictly below pos0: no mask
+                # ops at all (saves the iota + where on every score block).
+                return _flash_heads_chunk(
+                    carry, q_heads, kv_buf[slot],
+                    s_buf[slot] if quantized else None, None, ppc,
+                    page_size, rpp, hkv, d, quantized, int4, dot_dtype)
 
-        kv_pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (rows, chunk),
-                                                   1)
-        # kv >= pos0 is this tile's own freshly-written region: masked out
-        # (the diagonal covered it); its pages are not even streamed.
-        mask = kv_pos < pos0
-        return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
-                                  s_buf[slot] if quantized else None, mask,
-                                  ppc, page_size, rpp, hkv, d, quantized,
-                                  int4, dot_dtype, scale)
+            # Pages predicated off (at/past pos0 — the tile's own write
+            # region, never read: the diagonal block covers it from VMEM
+            # inputs) leave stale VMEM; zero their V region and scale block
+            # so p=0 lanes never multiply NaN (see the decode kernel's
+            # matching note).
+            n_need = lax.div(lim + ps - 1, ps)
+            for i in range(ppc):
+                @pl.when(ci * ppc + i >= n_need)
+                def _():
+                    kv_buf[slot, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
+                        (ps, kv_buf.shape[2]), kv_buf.dtype)
+                    if quantized:
+                        s_buf[slot, pl.ds(i * rpp, rpp), :] = jnp.zeros(
+                            (rpp, ps), s_buf.dtype)
 
-    carry = lax.fori_loop(0, n_pre, body, carry)
+            kv_pos = ci * chunk + lax.broadcasted_iota(
+                jnp.int32, (rows, chunk), 1)
+            # kv >= pos0 is this tile's own freshly-written region: masked
+            # out (the diagonal covered it); its pages are not streamed.
+            mask = kv_pos < pos0
+            return _flash_heads_chunk(carry, q_heads, kv_buf[slot],
+                                      s_buf[slot] if quantized else None,
+                                      mask, ppc, page_size, rpp, hkv, d,
+                                      quantized, int4, dot_dtype)
+        return body
+
+    # Chunks fully below pos0 need no masking; at most one boundary chunk
+    # (pos0 % chunk != 0) runs the masked body.
+    n_full = lax.div(lim, chunk)
+    carry = lax.fori_loop(0, n_full, make_body(False), carry)
+    carry = lax.fori_loop(n_full, n_pre, make_body(True), carry)
 
     # Retire the write DMAs (issued a whole tile ago), then prefetch the
     # successor's chunk 0 — strictly after the wait, because that chunk can
@@ -1007,7 +1030,8 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
 
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
-                     num_layers, q_tile=128, interpret: bool = False):
+                     num_layers, q_tile=128, pages_per_chunk=0,
+                     interpret: bool = False):
     """Backend entry. Both kernels own their KV writes: prefill
     writes-through rows and scale blocks per tile; decode merges the new
     token's rows and scale lane into the streamed chunk and writes back
@@ -1032,7 +1056,8 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
             cache["scales"], layer_i, meta.tile_seq, meta.tile_pos0,
             meta.context_lens, meta.block_tables, scale=scale,
             page_size=page_size, num_slots=num_slots, num_layers=num_layers,
-            q_tile=q_tile, kv_bits=kv_bits, interpret=interpret)
+            q_tile=q_tile, pages_per_chunk=pages_per_chunk, kv_bits=kv_bits,
+            interpret=interpret)
         return out, {"data": data, "scales": scales}
     if quantized:
         k_rows, v_rows, kv_scales = quantize_kv_rows(k, v, kv_bits)

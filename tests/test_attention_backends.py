@@ -180,7 +180,11 @@ def ref_prefill(q, cache, layer_i, tile_seq, tile_pos0, context_lens,
     return out
 
 
-def test_ragged_prefill_matches_dense():
+@pytest.mark.parametrize("ppc", [0, 1, 3])
+def test_ragged_prefill_matches_dense(ppc):
+    # ppc=1: pos0=64 covers 4 fully-valid chunks (the mask-free fast path);
+    # ppc=3 (chunk=48): pos0=64 -> 1 full + 1 boundary chunk (masked
+    # epilogue). ppc=0 = default 512-token chunks (single boundary chunk).
     d, hq, hkv, page_size, pages_per_seq, q_tile = 128, 4, 2, 16, 8, 32
     # Two seqs: one with a cached prefix (pos0 > 0), one fresh + pad tiles.
     t = 128  # 4 tiles of 32
@@ -224,7 +228,8 @@ def test_ragged_prefill_matches_dense():
         q, jnp.asarray(k_rows), jnp.asarray(v_rows), dummy,
         cache["data"], cache["scales"], layer_i, tile_seq, tile_pos0,
         context_lens, block_tables, scale=scale, page_size=page_size,
-        num_slots=num_slots, num_layers=2, q_tile=q_tile, interpret=True)
+        num_slots=num_slots, num_layers=2, q_tile=q_tile,
+        pages_per_chunk=ppc, interpret=True)
     ref = ref_prefill(q, cache, layer_i, np.asarray(tile_seq),
                       np.asarray(tile_pos0), np.asarray(context_lens),
                       block_tables, page_size, num_slots, 2, q_tile, scale)
