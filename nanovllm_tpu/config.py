@@ -113,7 +113,11 @@ class Config:
     max_num_batched_tokens: int = 8192
     max_num_seqs: int = 256
     max_model_len: int = 4096
-    hbm_utilization: float = 0.9
+    # Like the reference's gpu_memory_utilization (config.py:16) but
+    # deliberately lower: the tunnel runtime reports no memory_stats, and a
+    # KV cache sized past the true free HBM hangs execution forever rather
+    # than raising (see ModelRunner._hbm_budget).
+    hbm_utilization: float = 0.85
     tensor_parallel_size: int = 1
     # Reference semantic (model_runner.py:26,43: skip CUDA-graph capture, run
     # one eager step per dispatch). TPU analog: force decode_steps=1 (no fused

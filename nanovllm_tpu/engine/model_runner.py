@@ -196,6 +196,13 @@ class ModelRunner:
                           if k in kind.lower()), 0)
             if not limit:
                 return 2 << 30  # CPU/test fallback: 2 GiB of pages
+            # A runtime that hides memory_stats also hides its reservations.
+            # Measured on the v5e tunnel: programs whose live footprint
+            # passed ~11.3 GiB of the nominal 16 GiB hung forever in
+            # execution (allocation is virtualized — device_put happily
+            # "allocates" 24 GiB — so only execution faults, as an unbounded
+            # stall). Keep 10% back on top of hbm_utilization.
+            limit = int(limit * 0.90)
             in_use = self._params_bytes()
         # Static activation headroom: prefill at the max token bucket
         # dominates (hidden + q/k/v + mlp intermediates + fp32 logits).
@@ -205,10 +212,15 @@ class ModelRunner:
                    + (mc.num_attention_heads + 2 * mc.num_key_value_heads)
                    * mc.head_dim) * 2
         act += cfg.max_num_seqs * mc.vocab_size * 4
-        # The flat 1 GiB covers executable temp arenas (prefill + fused
-        # decode coexisting) — 512 MiB OOM'd at runtime once both the
-        # blocked-input decode kernel and the prefill program were live.
-        act = int(act * 1.5) + (1024 << 20)
+        # The flat 2 GiB covers executable temp arenas (prefill + fused
+        # decode coexisting) plus runtime reservations the device does not
+        # report (memory_stats is None under the tunnel). This is sized from
+        # observed failures, not theory: 1 GiB worked in one session, but a
+        # later runtime session hung FOREVER executing a step with an
+        # 11.6 GiB cache on a 16 GiB chip (alloc retries forever instead of
+        # raising RESOURCE_EXHAUSTED) while 10 GiB ran fine — over-budget is
+        # catastrophic, so the margin stays wide.
+        act = int(act * 1.5) + (2304 << 20)
         return int(limit * cfg.hbm_utilization) - in_use - act
 
     def _allocate_kv_cache(self):
@@ -443,4 +455,7 @@ class ModelRunner:
         self.rng_key, sub = jax.random.split(self.rng_key)
         fn = self._get_step_fn(key)
         self.kv_cache, tokens = fn(self.params, self.kv_cache, meta, sub)
-        jax.block_until_ready(tokens)
+        # Fetch, don't just block: under the IFRT proxy block_until_ready
+        # returns immediately, so a wedged warmup execution would otherwise
+        # go unnoticed and silently stall the first real dispatch instead.
+        np.asarray(tokens)

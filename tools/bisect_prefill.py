@@ -24,7 +24,8 @@ kvd = "bfloat16" if mode == "noquant" else "int8"
 cfg = Config(model="", model_config=QWEN3_0_6B, max_model_len=2048,
              max_num_batched_tokens=8192, attn_backend="pallas",
              load_format="random", decode_steps=32, kv_cache_dtype=kvd,
-             max_num_seqs=64, kvcache_block_size=128, prefill_q_tile=QTILE)
+             max_num_seqs=64, kvcache_block_size=128, prefill_q_tile=QTILE,
+             num_kvcache_blocks=int(os.environ.get("NVT_PAGES", "-1")))
 
 if mode == "host":
     from nanovllm_tpu.engine.batch import build_prefill_meta
