@@ -221,3 +221,21 @@ def test_ttft_metric_recorded():
     assert all(t > 0 for t in llm.metrics.ttft_s)
     summary = llm.metrics.summary()
     assert summary["ttft"]["p50_ms"] > 0
+
+
+def test_warmup_is_inert():
+    """auto_warmup pre-compiles and EXECUTES all-pad steps at construction
+    (reference warmup_model + capture_cudagraph, model_runner.py:40-44);
+    pad batches must not perturb serving state: greedy output of a warmed
+    engine equals a lazy engine's, and the pad steps write no KV (a page
+    served later reads exactly what the real request wrote)."""
+    prompts = [[5, 9, 23, 41, 77], [3, 11]]
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    lazy = make_llm().generate(prompts, sp, use_tqdm=False)
+    warm_llm = make_llm(auto_warmup=True)
+    warm = warm_llm.generate(prompts, sp, use_tqdm=False)
+    assert [o["token_ids"] for o in lazy] == [o["token_ids"] for o in warm]
+    # A second generate on the warmed engine reuses pages the pad steps
+    # targeted (slot == num_slots): still deterministic.
+    again = warm_llm.generate(prompts, sp, use_tqdm=False)
+    assert [o["token_ids"] for o in again] == [o["token_ids"] for o in warm]
