@@ -59,10 +59,16 @@ class LLMEngine:
             # Saturated-serving hot buckets; first-request TTFT then pays at
             # most a tail bucket compile (served by the persistent XLA cache
             # on repeat runs) instead of the full prefill+decode compile.
+            # A prefill batch can hold at most budget/q_tile sequences (the
+            # scheduler budgets tile-padded tokens), so warm that bucket —
+            # warming s=max_num_seqs would compile a never-dispatched shape.
+            max_prefill_seqs = min(
+                self.config.max_num_seqs,
+                self.config.max_num_batched_tokens // self.config.prefill_q_tile)
             self.warmup(
                 decode_bs=[self.config.max_num_seqs],
                 prefill=[(self.config.max_num_batched_tokens,
-                          self.config.max_num_seqs)])
+                          max_prefill_seqs)])
 
     def exit(self):  # API parity with the reference (llm_engine.py:47-60)
         pass
@@ -79,6 +85,17 @@ class LLMEngine:
                 "string prompts require a tokenizer (construct with a model path)"
             )
             prompt = self.tokenizer.encode(prompt)
+        # Validate up front: an inadmissible request would otherwise sit at
+        # the head of `waiting` forever and spin generate() (the reference
+        # crashes late inside batch prep instead; this build's contract is a
+        # loud error at submission time).
+        if not prompt:
+            raise ValueError("empty prompt")
+        if len(prompt) + 1 > self.config.max_model_len:
+            raise ValueError(
+                f"prompt is {len(prompt)} tokens but max_model_len="
+                f"{self.config.max_model_len} leaves no room to generate; "
+                "raise max_model_len or truncate the prompt")
         seq = Sequence(prompt, sampling_params,
                        block_size=self.config.kvcache_block_size)
         self.scheduler.add(seq)

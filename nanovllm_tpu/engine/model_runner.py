@@ -184,12 +184,18 @@ class ModelRunner:
         except Exception:
             pass
         env_gb = os.environ.get("NANOVLLM_HBM_GB")
+        trusted = True  # runtime reports real limits and raises real OOMs
         if stats and "bytes_limit" in stats:
             limit = stats["bytes_limit"]
             in_use = stats.get("bytes_in_use", self._params_bytes())
         elif env_gb:
+            # NANOVLLM_HBM_GB must be the MEASURED-USABLE HBM, not the chip's
+            # nominal size: no haircut is applied here, so setting the nominal
+            # 16 on the tunnel reconstructs the silent-stall the fallback
+            # branch guards against (usable there measured ~11.3 of 16 GiB).
             limit = int(float(env_gb) * (1 << 30))
             in_use = self._params_bytes()
+            trusted = False  # still the stall-not-OOM runtime: wide arena
         else:
             kind = getattr(dev, "device_kind", "") or ""
             limit = next((v for k, v in self.HBM_BY_KIND.items()
@@ -204,6 +210,7 @@ class ModelRunner:
             # stall). Keep 10% back on top of hbm_utilization.
             limit = int(limit * 0.90)
             in_use = self._params_bytes()
+            trusted = False
         # Static activation headroom: prefill at the max token bucket
         # dominates (hidden + q/k/v + mlp intermediates + fp32 logits).
         mc = cfg.model_config
@@ -212,15 +219,18 @@ class ModelRunner:
                    + (mc.num_attention_heads + 2 * mc.num_key_value_heads)
                    * mc.head_dim) * 2
         act += cfg.max_num_seqs * mc.vocab_size * 4
-        # The flat 2 GiB covers executable temp arenas (prefill + fused
-        # decode coexisting) plus runtime reservations the device does not
-        # report (memory_stats is None under the tunnel). This is sized from
-        # observed failures, not theory: 1 GiB worked in one session, but a
-        # later runtime session hung FOREVER executing a step with an
+        # Executable temp arenas (prefill + fused decode coexisting): 1 GiB
+        # on runtimes that report memory_stats and raise real OOMs. On the
+        # stall-not-OOM tunnel runtime the margin widens to 2.25 GiB — sized
+        # from observed failures, not theory: 1 GiB worked in one session,
+        # but a later runtime session hung FOREVER executing a step with an
         # 11.6 GiB cache on a 16 GiB chip (alloc retries forever instead of
         # raising RESOURCE_EXHAUSTED) while 10 GiB ran fine — over-budget is
-        # catastrophic, so the margin stays wide.
-        act = int(act * 1.5) + (2304 << 20)
+        # catastrophic there, so only there does the margin stay wide.
+        act = int(act * 1.5) + ((1024 if trusted else 2304) << 20)
+        # Note: cfg.hbm_utilization's 0.85 default (vs the reference's 0.9)
+        # applies on all runtimes — a deliberate cross-runtime safety choice;
+        # pass hbm_utilization=0.9 explicitly on well-behaved runtimes.
         return int(limit * cfg.hbm_utilization) - in_use - act
 
     def _allocate_kv_cache(self):

@@ -38,6 +38,7 @@ class Scheduler:
         self.max_num_batched_tokens = config.max_num_batched_tokens
         self.max_model_len = config.max_model_len
         self.decode_steps = config.decode_steps
+        self.prefill_q_tile = config.prefill_q_tile
         self.eos = config.eos
         self.block_manager = make_block_manager(
             config.num_kvcache_blocks, config.kvcache_block_size,
@@ -57,22 +58,32 @@ class Scheduler:
         self.waiting.append(seq)
 
     def schedule(self) -> tuple[list[Sequence], StepStats]:
-        # Prefill first: drain `waiting` while the token budget (counting only
-        # uncached tokens), seq cap, and page availability hold.
+        # Prefill first: drain `waiting` while the token budget, seq cap, and
+        # page availability hold. The budget counts PADDED uncached tokens:
+        # the dispatched program aligns every sequence's query segment to
+        # prefill_q_tile (model_runner.bucket_key), so budgeting raw tokens
+        # would let e.g. 256 one-token prompts compile a 32768-token step —
+        # 4x the activation headroom the HBM budget reserved for
+        # max_num_batched_tokens (and an unwarmed bucket that the tunnel
+        # runtime would hang on rather than OOM).
         scheduled: list[Sequence] = []
         num_seqs = 0
         num_batched_tokens = 0
+        num_padded_tokens = 0
+        tq = self.prefill_q_tile
         while self.waiting and num_seqs < self.max_num_seqs:
             seq = self.waiting[0]
             new_tokens = len(seq) - seq.num_cached_tokens
+            padded = -(-new_tokens // tq) * tq
             if (
-                num_batched_tokens + new_tokens > self.max_num_batched_tokens
+                num_padded_tokens + padded > self.max_num_batched_tokens
                 or not self.block_manager.can_allocate(seq)
             ):
                 break
             num_seqs += 1
             self.block_manager.allocate(seq)
             num_batched_tokens += len(seq) - seq.num_cached_tokens
+            num_padded_tokens += padded
             seq.status = SequenceStatus.RUNNING
             self.waiting.popleft()
             self.running.append(seq)
@@ -83,6 +94,19 @@ class Scheduler:
                 num_scheduled_tokens=num_batched_tokens,
                 num_seqs=num_seqs,
             )
+        if not self.running and self.waiting:
+            # Nothing scheduled, nothing running: no future step can free
+            # pages or budget, so the head of `waiting` is permanently
+            # inadmissible — raise instead of letting generate() busy-spin
+            # forever (add_request validates lengths, so this only fires on
+            # pathological configs, e.g. num_kvcache_blocks shrunk below one
+            # max-length sequence).
+            seq = self.waiting[0]
+            raise RuntimeError(
+                f"request of {len(seq)} tokens ({len(seq) - seq.num_cached_tokens}"
+                f" uncached) can never be scheduled: padded budget "
+                f"{self.max_num_batched_tokens}, free pages "
+                f"{self.block_manager.num_free_blocks}")
 
         # Decode: FCFS over `running`; on page exhaustion preempt from the
         # tail (most recently admitted) until the head can reserve. K decode

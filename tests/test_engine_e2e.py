@@ -239,3 +239,47 @@ def test_warmup_is_inert():
     # targeted (slot == num_slots): still deterministic.
     again = warm_llm.generate(prompts, sp, use_tqdm=False)
     assert [o["token_ids"] for o in again] == [o["token_ids"] for o in warm]
+
+
+def test_overlong_prompt_raises_promptly():
+    """Round-2 verdict repro: a prompt longer than max_model_len used to spin
+    generate() forever (prefill admission failed every step, nothing ran).
+    The contract is a loud ValueError at submission."""
+    llm = make_llm(max_model_len=64, max_num_batched_tokens=512)
+    sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+    with pytest.raises(ValueError, match="max_model_len"):
+        llm.generate([list(range(1, 100))], sp, use_tqdm=False)
+    # Exactly max_model_len - 1 tokens still fits (room for one new token).
+    out = llm.generate([[1] * 63], sp, use_tqdm=False)
+    assert out[0]["token_ids"]
+
+
+def test_empty_prompt_raises():
+    llm = make_llm()
+    with pytest.raises(ValueError, match="empty"):
+        llm.generate([[]], SamplingParams(max_tokens=4), use_tqdm=False)
+
+
+def test_short_prompt_burst_stays_within_token_budget():
+    """2x a prefill batch of one-token prompts: every dispatched prefill
+    bucket T must stay within max_num_batched_tokens (padded budgeting)."""
+    from nanovllm_tpu.engine.scheduler import StepStats  # noqa: F401
+    llm = make_llm(max_num_batched_tokens=512, max_num_seqs=16,
+                   prefill_q_tile=128)
+    dispatched = []
+    orig = llm.model_runner.bucket_key
+
+    def spy(seqs, is_prefill, num_steps=1):
+        key = orig(seqs, is_prefill, num_steps)
+        if is_prefill:
+            dispatched.append(key[1])
+        return key
+
+    llm.model_runner.bucket_key = spy
+    prompts = [[i + 1] for i in range(8)]
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    assert len(outs) == 8 and all(len(o["token_ids"]) == 4 for o in outs)
+    assert dispatched and max(dispatched) <= 512
+    # 8 seqs x 128-token padded segments = 1024 > 512: must have split.
+    assert len(dispatched) >= 2

@@ -172,3 +172,29 @@ def test_fused_steps_capacity_round_down():
     sch.postprocess(seqs, [[1]])           # len = 101
     seqs, stats = sch.schedule()           # capacity = 128-101+1 = 28 -> 16
     assert stats.num_steps == 16
+
+
+def test_prefill_budget_counts_padded_tokens():
+    """Admission budgets tile-padded tokens (prefill_q_tile=128 default): a
+    burst of one-token prompts must split across steps so the dispatched
+    padded T never exceeds max_num_batched_tokens (round-2 verdict: 256
+    one-token prompts compiled a 32768-token step against an 8192 budget)."""
+    sch = make_scheduler(num_blocks=64, max_seqs=64, max_tokens=512)
+    for i in range(8):
+        sch.add(seq(1, start=i * 10))
+    seqs, stats = sch.schedule()
+    assert stats.is_prefill
+    # 512 budget / 128-token padded segments -> 4 seqs per step, not 8.
+    assert len(seqs) == 4
+    seqs2, stats2 = sch.schedule()
+    assert stats2.is_prefill and len(seqs2) == 4
+
+
+def test_schedule_raises_when_head_never_admissible():
+    """A request that cannot be admitted even with every page free must raise
+    (not spin): nothing is running, so no future step frees resources."""
+    import pytest
+    sch = make_scheduler(num_blocks=4, max_tokens=512)  # 4 pages x 16 = 64 tok
+    sch.add(seq(100))
+    with pytest.raises(RuntimeError, match="never be scheduled"):
+        sch.schedule()

@@ -12,7 +12,8 @@ from nanovllm_tpu.ops.kv_cache import create_kv_cache, quantize_kv_rows
 
 BS = int(sys.argv[1]) if len(sys.argv) > 1 else 64
 real = len(sys.argv) > 2 and sys.argv[2] == "real"
-HQ, HKV, D, PS, L, PAGES, PK = 16, 8, 128, 128, 1, 300, 16
+HQ, HKV, D, PS, L, PK = 16, 8, 128, 128, 1, 16
+PAGES = max(300, BS + PK)  # distinct page per sequence in the "real" path
 NUM_SLOTS = PAGES * PS
 
 cache = jax.device_put(create_kv_cache(L, HKV, PAGES, PS, D, jnp.int8))
@@ -24,8 +25,10 @@ k_rows, v_rows, kv_scales = quantize_kv_rows(k, v, 8)
 
 if real:
     ctx = jnp.full(BS, 64, jnp.int32)
-    bt = jnp.tile(jnp.arange(PK, dtype=jnp.int32), (BS, 1)) \
-        + jnp.arange(BS, dtype=jnp.int32)[:, None] * 0
+    # Sequence i owns pages [i, i+PK): page i matches its write slot below,
+    # like a real dispatched batch (each sequence reads the page it writes).
+    bt = (jnp.arange(PK, dtype=jnp.int32)[None, :]
+          + jnp.arange(BS, dtype=jnp.int32)[:, None]) % PAGES
     slots = jnp.arange(BS, dtype=jnp.int32) * PS + 63
 else:
     ctx = jnp.zeros(BS, jnp.int32)
