@@ -73,6 +73,11 @@ def main():
     # 128 fused steps amortize the per-dispatch host round-trip to ~0.4 ms.
     p.add_argument("--decode-steps", type=int, default=128)
     p.add_argument("--max-model-len", type=int, default=None)
+    # Family-run knobs: bigger models need a smaller prefill token budget
+    # (shrinks the activation headroom the HBM sizing reserves, freeing KV
+    # pages) and may want a custom utilization on runtimes with real OOMs.
+    p.add_argument("--max-batched-tokens", type=int, default=None)
+    p.add_argument("--hbm-utilization", type=float, default=None)
     # Scaling-efficiency mode (north-star: >=85% tok/s efficiency 1 chip ->
     # 1 host -> >=2 hosts): --tp N shards the model over N local chips;
     # --distributed joins a pod slice first (jax.distributed.initialize) so
@@ -82,11 +87,16 @@ def main():
     args = p.parse_args()
 
     max_model_len = args.max_model_len or (args.input_len + args.output_len)
+    extra = {}
+    if args.hbm_utilization is not None:
+        extra["hbm_utilization"] = args.hbm_utilization
     llm = LLM(
         args.model,
         model_config=None if args.model else QWEN3_SIZES[args.model_size],
         max_model_len=max_model_len,
-        max_num_batched_tokens=max(8192, max_model_len),
+        max_num_batched_tokens=(args.max_batched_tokens
+                                or max(8192, max_model_len)),
+        **extra,
         max_num_seqs=min(args.num_seqs, 256),
         attn_backend=args.attn_backend,
         kv_cache_dtype=args.kv_cache_dtype,
@@ -150,6 +160,35 @@ def main():
     import sys
     summary = llm.metrics.summary()
     print("engine metrics:", json.dumps(summary), file=sys.stderr)
+
+    # MFU (verdict r2 item 7): model FLOPs per token over the chip's bf16
+    # peak. Matmul term = 2 * matmul params; attention term = 4*H*D*context
+    # (QK^T + PV at 2 FLOPs/MAC), causal-averaged for prefill.
+    mc2 = llm.config.model_config
+    mm_params = (mc2.num_hidden_layers * (
+        mc2.hidden_size * (mc2.num_attention_heads
+                           + 2 * mc2.num_key_value_heads) * mc2.head_dim
+        + mc2.num_attention_heads * mc2.head_dim * mc2.hidden_size
+        + 3 * mc2.hidden_size * mc2.intermediate_size)
+        + mc2.hidden_size * mc2.vocab_size)
+    attn_per_tok = lambda ctx: (4 * mc2.num_attention_heads * mc2.head_dim
+                                * ctx * mc2.num_hidden_layers)
+    import jax
+    kind = (getattr(jax.devices()[0], "device_kind", "") or "").lower()
+    peak = next((v for k, v in {"v5 lite": 197e12, "v5e": 197e12,
+                                "v5p": 459e12, "v6": 918e12, "v4": 275e12,
+                                "v5": 459e12}.items() if k in kind), 0)
+    mfu = {}
+    if peak:
+        pf, dc = summary["prefill_tok_per_s"], summary["decode_tok_per_s"]
+        mfu = {
+            "prefill_mfu_pct": round(100 * pf * (2 * mm_params + attn_per_tok(
+                args.input_len / 2)) / peak / llm.config.tensor_parallel_size, 1),
+            "decode_mfu_pct": round(100 * dc * (2 * mm_params + attn_per_tok(
+                args.input_len + args.output_len / 2)) / peak
+                / llm.config.tensor_parallel_size, 1),
+        }
+        print("mfu:", json.dumps(mfu), file=sys.stderr)
     print(json.dumps({
         "metric": f"decode tok/s Qwen3-{args.model_size} "
                   f"{args.num_seqs}x{args.input_len}/"
@@ -158,6 +197,7 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(toks / BASELINE_FLASH_TOKS, 3),
         "ttft_p50_ms": summary["ttft"].get("p50_ms"),
+        **mfu,
     }))
 
 
