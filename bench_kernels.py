@@ -191,8 +191,11 @@ def bench_qmm(t, k, n, mode):
     elif mode == "int8":
         wq = quantize_weight(w, bits=8)
         wbytes = k * n
-    else:  # int4
-        wq = quantize_weight(w, bits=4, pack=True)
+    elif mode == "int4r":  # row-block packing (int8 pairs)
+        wq = quantize_weight(w, bits=4, pack=True, layout="rows")
+        wbytes = k * n // 2
+    else:  # int4: int32 nibble planes (the default serving layout)
+        wq = quantize_weight(w, bits=4, pack=True, layout="planes")
         wbytes = k * n // 2
 
     # Chain via a projection back to x's shape so iterations serialize.
@@ -242,7 +245,7 @@ def main():
     if args.qmm:
         print("\n== weight matmul (x[t,k] @ w[k,n]) ==")
         for t in (8, 64, 256):
-            for mode in ("bf16", "int8", "int4"):
+            for mode in ("bf16", "int8", "int4", "int4r"):
                 dt, gbps = bench_qmm(t, 1024, 3072, mode)
                 print(f"t={t:<4d} k=1024 n=3072 {mode:<5s} "
                       f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s weight-read",

@@ -52,6 +52,77 @@ def pack_rows_int4(q):
                           jnp.left_shift(hi, 4)).astype(jnp.int8)
 
 
+def pack_planes_int4(q):
+    """q: int8 [..., K, N] in [-8, 7] -> int32 [..., K//8, N] holding 8
+    bias-8 nibbles per int32 lane.
+
+    Plane j (nibble j, bits [4j, 4j+4)) stores the CONTIGUOUS row block
+    [j*K/8, (j+1)*K/8), so the kernel's per-plane dot consumes a plain
+    static slice of x. Values are stored biased (+8, so in [0, 15]): the
+    kernel extracts with one shift + one mask per plane — no sign-extension
+    chain — and removes the bias with a single rank-1 correction
+    (-8 * rowsum(x)) after all eight dots. Weight bytes = K*N/2: exactly
+    half the INT8 form's HBM traffic, same as the row-block packing, but
+    extracted straight from int32 lanes (the native VMEM register width)
+    instead of via an int8->int32 widening relayout."""
+    k = q.shape[-2]
+    assert k % 8 == 0, f"K={k} must be divisible by 8 for plane packing"
+    kb = k // 8
+    u = (q.astype(jnp.int32) + 8)
+    out = jnp.zeros((*q.shape[:-2], kb, q.shape[-1]), jnp.int32)
+    for j in range(8):
+        out = jnp.bitwise_or(
+            out, jnp.left_shift(u[..., j * kb:(j + 1) * kb, :], 4 * j))
+    return out
+
+
+def _planes_kernel(x_ref, w_ref, s_ref, o_ref, *, kb: int):
+    v = w_ref[:]  # int32 [kb, tn], 8 biased nibbles per lane
+    x = x_ref[:]
+    acc = jnp.zeros(o_ref.shape, jnp.float32)
+    for j in range(8):
+        u = jnp.bitwise_and(jnp.right_shift(v, 4 * j), 15)
+        acc = acc + jnp.dot(x[:, j * kb:(j + 1) * kb], u.astype(x.dtype),
+                            preferred_element_type=jnp.float32)
+    # Bias-8 removal for all planes at once: sum_j x_j @ (u_j - 8)
+    #   = sum_j x_j @ u_j - 8 * rowsum(x).
+    acc = acc - 8.0 * jnp.sum(x.astype(jnp.float32), axis=1, keepdims=True)
+    o_ref[:] = (acc * s_ref[:].astype(jnp.float32)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("out_dtype", "interpret"))
+def qmm_int4_planes(x, planes, scales, out_dtype=None,
+                    interpret: bool | None = None):
+    """x: [T, K]; planes: int32 [K//8, N] (pack_planes_int4); scales: f32
+    [1, N]. Same contract as qmm_int4, different storage layout."""
+    t, k = x.shape
+    kb, n = planes.shape
+    assert k == 8 * kb, (x.shape, planes.shape)
+    out_dtype = out_dtype or jnp.float32
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    tt = min(t, 256)
+    tn = 512 if kb <= 1024 else 256
+    tn = min(tn, n)
+    grid = (cdiv(n, tn), cdiv(t, tt))
+    return pl.pallas_call(
+        functools.partial(_planes_kernel, kb=kb),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((tt, k), lambda ni, ti: (ti, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((kb, tn), lambda ni, ti: (0, ni),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tn), lambda ni, ti: (0, ni),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tt, tn), lambda ni, ti: (ti, ni),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((t, n), out_dtype),
+        interpret=interpret,
+    )(x, planes, scales)
+
+
 def _kernel(x_ref, w_ref, s_ref, o_ref, *, k2: int):
     w = w_ref[:].astype(jnp.int32)
     # Low nibble sign-extended via shift-up/arithmetic-shift-down; high

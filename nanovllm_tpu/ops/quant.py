@@ -14,13 +14,16 @@ import jax
 import jax.numpy as jnp
 
 
-def quantize_weight(w, bits: int = 8, pack: bool = False):
+def quantize_weight(w, bits: int = 8, pack: bool = False,
+                    layout: str = "planes"):
     """w: [..., in, out] -> {"q": int8|int4 [..., in, out],
     "s": f32 [..., 1, out]} with per-output-channel absmax scales.
 
-    pack=True (bits=4 only) stores nibble-packed int8 [..., in//2, out] under
-    key "q4" instead — the form the Pallas dequant matmul streams (this TPU
-    runtime cannot pass jnp.int4 jit arguments; see ops/qmm_pallas.py)."""
+    pack=True (bits=4 only) stores the Pallas dequant matmul's streaming
+    form instead (this TPU runtime cannot pass jnp.int4 jit arguments; see
+    ops/qmm_pallas.py): layout="planes" (default) puts 8 bias-8 nibbles per
+    int32 lane under key "q4p" (cheapest VPU extraction); layout="rows"
+    keeps the int8 [..., in//2, out] row-block form under "q4"."""
     assert bits in (8, 4)
     wf = w.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # [..., 1, out]
@@ -29,6 +32,9 @@ def quantize_weight(w, bits: int = 8, pack: bool = False):
     q = jnp.clip(jnp.round(wf / s), -qmax, qmax)
     if pack:
         assert bits == 4
+        if layout == "planes":
+            from nanovllm_tpu.ops.qmm_pallas import pack_planes_int4
+            return {"q4p": pack_planes_int4(q.astype(jnp.int8)), "s": s}
         from nanovllm_tpu.ops.qmm_pallas import pack_rows_int4
         return {"q4": pack_rows_int4(q.astype(jnp.int8)), "s": s}
     dtype = jnp.int8 if bits == 8 else jnp.int4
@@ -42,6 +48,10 @@ def qmm(x, w, preferred=None):
     fp32 accumulation on the MXU, then the per-channel scale.
     """
     if isinstance(w, dict):
+        if "q4p" in w:  # int32 nibble planes: Pallas kernel, VMEM dequant
+            from nanovllm_tpu.ops.qmm_pallas import qmm_int4_planes
+            return qmm_int4_planes(x, w["q4p"], w["s"],
+                                   out_dtype=preferred or x.dtype)
         if "q4" in w:  # nibble-packed: Pallas kernel, dequant in VMEM tiles
             from nanovllm_tpu.ops.qmm_pallas import qmm_int4
             return qmm_int4(x, w["q4"], w["s"],
