@@ -78,6 +78,10 @@ def main():
     # pages) and may want a custom utilization on runtimes with real OOMs.
     p.add_argument("--max-batched-tokens", type=int, default=None)
     p.add_argument("--hbm-utilization", type=float, default=None)
+    # Prefill-MFU experiments (r2 verdict item 7): q-tile size and prefix
+    # chunk width of the ragged Pallas prefill kernel.
+    p.add_argument("--q-tile", type=int, default=None)
+    p.add_argument("--pages-per-chunk", type=int, default=None)
     # Scaling-efficiency mode (north-star: >=85% tok/s efficiency 1 chip ->
     # 1 host -> >=2 hosts): --tp N shards the model over N local chips;
     # --distributed joins a pod slice first (jax.distributed.initialize) so
@@ -90,6 +94,10 @@ def main():
     extra = {}
     if args.hbm_utilization is not None:
         extra["hbm_utilization"] = args.hbm_utilization
+    if args.q_tile is not None:
+        extra["prefill_q_tile"] = args.q_tile
+    if args.pages_per_chunk is not None:
+        extra["prefill_pages_per_chunk"] = args.pages_per_chunk
     llm = LLM(
         args.model,
         model_config=None if args.model else QWEN3_SIZES[args.model_size],

@@ -283,3 +283,18 @@ def test_short_prompt_burst_stays_within_token_budget():
     assert dispatched and max(dispatched) <= 512
     # 8 seqs x 128-token padded segments = 1024 > 512: must have split.
     assert len(dispatched) >= 2
+
+
+def test_int4_weights_pallas_matches_ref_backend_e2e():
+    """INT4 plane-packed weights (the Pallas dequant matmul) through the
+    full engine: both attention backends must emit identical greedy tokens
+    (the matmul path is shared, so any divergence isolates the attn/quant
+    interaction)."""
+    rng = np.random.default_rng(11)
+    prompts = [rng.integers(1, 127, size=n).tolist() for n in (9, 33)]
+    sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+    ref_out = make_llm(quant="int4").generate(prompts, sp, use_tqdm=False)
+    pallas_out = make_llm(quant="int4", attn_backend="pallas").generate(
+        prompts, sp, use_tqdm=False)
+    for a, b in zip(ref_out, pallas_out):
+        assert a["token_ids"] == b["token_ids"]
