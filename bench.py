@@ -113,6 +113,10 @@ def main():
         load_format="auto" if args.model else "random",
         tensor_parallel_size=args.tp,
         distributed=args.distributed,
+        # The bench warms its exact workload buckets below; construction-time
+        # auto-warmup would compile an extra general-purpose prefill bucket
+        # (~minutes per model size on the tunnel) the workload never hits.
+        auto_warmup=False,
     )
 
     def vocab_of(llm):
