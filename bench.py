@@ -70,6 +70,8 @@ def main():
     # matmuls) halves weight+lm_head HBM reads per decode step; accuracy is
     # gated by tests/test_model_parity.py's dequant-parity check.
     p.add_argument("--quant", default="int8", choices=["none", "int8", "int4"])
+    p.add_argument("--quant-embed", action="store_true",
+                   help="int8 embedding rows (frees vocab*hidden HBM bytes)")
     # 128 fused steps amortize the per-dispatch host round-trip to ~0.4 ms.
     p.add_argument("--decode-steps", type=int, default=128)
     p.add_argument("--max-model-len", type=int, default=None)
@@ -78,6 +80,10 @@ def main():
     # pages) and may want a custom utilization on runtimes with real OOMs.
     p.add_argument("--max-batched-tokens", type=int, default=None)
     p.add_argument("--hbm-utilization", type=float, default=None)
+    p.add_argument("--num-pages", type=int, default=None,
+                   help="KV page count override (skips the HBM auto-sizing; "
+                        "the tunnel runtime's usable ceiling varies by "
+                        "session, so big-model runs pin their footprint)")
     # Prefill-MFU experiments (r2 verdict item 7): q-tile size and prefix
     # chunk width of the ragged Pallas prefill kernel.
     p.add_argument("--q-tile", type=int, default=None)
@@ -98,6 +104,8 @@ def main():
         extra["prefill_q_tile"] = args.q_tile
     if args.pages_per_chunk is not None:
         extra["prefill_pages_per_chunk"] = args.pages_per_chunk
+    if args.num_pages is not None:
+        extra["num_kvcache_blocks"] = args.num_pages
     llm = LLM(
         args.model,
         model_config=None if args.model else QWEN3_SIZES[args.model_size],
@@ -109,6 +117,7 @@ def main():
         attn_backend=args.attn_backend,
         kv_cache_dtype=args.kv_cache_dtype,
         quant=args.quant,
+        quant_embed=args.quant_embed,
         decode_steps=args.decode_steps,
         load_format="auto" if args.model else "random",
         tensor_parallel_size=args.tp,
@@ -167,6 +176,8 @@ def main():
         tag += "+kv4"
     if args.quant != "none":
         tag += f"+w{args.quant[3:]}"
+        if args.quant_embed:
+            tag += "+qe"
     if args.tp > 1:
         tag += f"+tp{args.tp}"
     import sys

@@ -143,6 +143,11 @@ class Config:
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8 | int4
     quant: str = "none"            # none | int8 | int4 (weight-only)
+    # Also store the embedding table as int8 with per-row scales (the lookup
+    # dequantizes the gathered rows). Saves vocab*hidden bytes of HBM — the
+    # difference between Qwen3-8B w8 fitting one v5e chip with a useful KV
+    # cache or not. Requires quant != "none".
+    quant_embed: bool = False
     # "random" initializes weights from a PRNG instead of loading safetensors
     # (lets benches run without model files on disk).
     load_format: str = "auto"      # auto | safetensors | random

@@ -117,14 +117,27 @@ class ModelRunner:
             host_params = load_params(cfg.model, mc, self.dtype)
         if cfg.quant != "none":
             from nanovllm_tpu.ops.quant import quantize_params
+            import contextlib
+            # Quantize on the HOST: the jnp quantize math would otherwise run
+            # on the accelerator with multi-GiB fp32 transients (an 8B leaf
+            # peaks ~12 GiB) that the tunnel runtime frees lazily — observed
+            # as RESOURCE_EXHAUSTED in the first warmup step after an
+            # apparently-successful load.
+            try:
+                cpu = jax.devices("cpu")
+            except Exception:
+                cpu = []
+            ctx = jax.default_device(cpu[0]) if cpu else contextlib.nullcontext()
             # INT4 uses the nibble-packed Pallas matmul under tp=1; with
             # tensor parallelism the matmuls are GSPMD-partitioned (a Pallas
             # call would need its own shard_map), so keep jnp.int4 leaves
             # there (CPU-correct; the TPU runtime can't pass S4 jit args —
             # ops/qmm_pallas.py — so int4+tp>1 is CPU/test-only for now).
-            host_params = quantize_params(
-                host_params, 8 if cfg.quant == "int8" else 4,
-                pack=None if cfg.tensor_parallel_size == 1 else False)
+            with ctx:
+                host_params = quantize_params(
+                    host_params, 8 if cfg.quant == "int8" else 4,
+                    pack=None if cfg.tensor_parallel_size == 1 else False,
+                    quant_embed=cfg.quant_embed)
         shardings = param_shardings(self.mesh, host_params)
         self.params = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a), s),

@@ -90,7 +90,9 @@ def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
     slice/update-slice pair would materialize a full layer copy per layer per
     step (measured: it turns decode into an HBM-bandwidth cache memcpy).
     """
-    x = params["embed"][meta.input_ids]
+    from nanovllm_tpu.ops.quant import embed_lookup
+    x = embed_lookup(params["embed"], meta.input_ids,
+                     params["final_ln"].dtype)
     residual = jnp.zeros_like(x)
     rope_cs = rope_cos_sin(meta.positions, cfg.head_dim, cfg.rope_theta)
 

@@ -66,11 +66,32 @@ def qmm(x, w, preferred=None):
 QUANT_WEIGHTS = ("wq", "wk", "wv", "o", "gate", "up", "down")
 
 
-def quantize_params(params: dict, bits: int, pack: bool | None = None) -> dict:
-    """Quantize the stacked layer matmuls + lm_head (embedding gather stays
-    wide; norms stay fp). bits=4 defaults to the nibble-packed Pallas form
-    (see quantize_weight); pass pack=False to keep jnp.int4 leaves (GSPMD-
-    shardable, but unusable as jit arguments on the TPU runtime)."""
+def quantize_embedding(w):
+    """Embedding table [V, H] -> {"q": int8 [V, H], "s": f32 [V, 1]} with
+    per-ROW (per-vocab-entry) absmax scales: the lookup gathers a row and
+    multiplies by its one scale. Always int8 (a 4-bit embedding would need
+    in-gather unpacking for ~0.3 GiB more saved on 8B — not worth it)."""
+    wf = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(wf), axis=-1, keepdims=True)  # [V, 1]
+    s = jnp.maximum(absmax / 127.0, 1e-10)
+    q = jnp.clip(jnp.round(wf / s), -127, 127).astype(jnp.int8)
+    return {"q": q, "s": s}
+
+
+def embed_lookup(emb, ids, dtype):
+    """Gather rows of a plain or row-quantized embedding table."""
+    if isinstance(emb, dict):
+        return (emb["q"][ids].astype(jnp.float32) * emb["s"][ids]).astype(dtype)
+    return emb[ids]
+
+
+def quantize_params(params: dict, bits: int, pack: bool | None = None,
+                    quant_embed: bool = False) -> dict:
+    """Quantize the stacked layer matmuls + lm_head (norms stay fp; the
+    embedding gather stays wide unless quant_embed). bits=4 defaults to the
+    nibble-packed Pallas form (see quantize_weight); pass pack=False to keep
+    jnp.int4 leaves (GSPMD-shardable, but unusable as jit arguments on the
+    TPU runtime)."""
     if pack is None:
         pack = bits == 4
     out = dict(params)
@@ -79,4 +100,6 @@ def quantize_params(params: dict, bits: int, pack: bool | None = None) -> dict:
         out["layers"][name] = quantize_weight(params["layers"][name], bits,
                                               pack)
     out["lm_head"] = quantize_weight(params["lm_head"], bits, pack)
+    if quant_embed:
+        out["embed"] = quantize_embedding(params["embed"])
     return out

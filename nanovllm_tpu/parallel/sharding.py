@@ -49,9 +49,15 @@ def param_shardings(mesh: Mesh, params: dict | None = None) -> dict:
 
     def adapt(spec_sh, leaf):
         if isinstance(leaf, dict):
-            # Quantized: {"q"|"q4": [..., in(/2), out], "s": [..., 1, out]}.
             spec = spec_sh.spec
-            s_spec = P(*(list(spec[:-2]) + [None, spec[-1]]))
+            if leaf["s"].shape[-1] == 1:
+                # Row-quantized (embedding): {"q": [V, H], "s": [V, 1]} —
+                # the scale shards with the ROW (vocab) dim.
+                s_spec = P(*(list(spec[:-1]) + [None]))
+            else:
+                # Quantized matmul: {"q"|"q4"|"q4p": [..., in(/...), out],
+                # "s": [..., 1, out]} — scale shards with the out dim.
+                s_spec = P(*(list(spec[:-2]) + [None, spec[-1]]))
             out = {k: spec_sh for k in leaf if k != "s"}
             out["s"] = NamedSharding(mesh, s_spec)
             return out

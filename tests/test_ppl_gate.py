@@ -44,12 +44,12 @@ def tokens():
 
 
 def make_config(model_dir, quant="none", kv_dtype="auto", dtype="float32",
-                backend="ref"):
+                backend="ref", quant_embed=False):
     return Config(
         model_dir, max_model_len=512, max_num_batched_tokens=512,
         max_num_seqs=8, attn_backend=backend, kvcache_block_size=128,
         prefill_q_tile=128, quant=quant, kv_cache_dtype=kv_dtype,
-        dtype=dtype, num_kvcache_blocks=8,
+        dtype=dtype, num_kvcache_blocks=8, quant_embed=quant_embed,
     )
 
 
@@ -84,17 +84,19 @@ def test_pallas_backend_ppl_matches_ref(hf_model_dir, tokens):
     assert abs(pal["ppl"] - ref["ppl"]) < 0.05 * ref["ppl"], (pal, ref)
 
 
-@pytest.mark.parametrize("quant,kv_dtype", [
-    ("int8", "auto"), ("int4", "auto"), ("none", "int8"), ("none", "int4"),
-    ("int8", "int8"),
+@pytest.mark.parametrize("quant,kv_dtype,quant_embed", [
+    ("int8", "auto", False), ("int4", "auto", False), ("none", "int8", False),
+    ("none", "int4", False), ("int8", "int8", False), ("int8", "int8", True),
 ])
-def test_quantization_ppl_gate(hf_model_dir, tokens, quant, kv_dtype):
+def test_quantization_ppl_gate(hf_model_dir, tokens, quant, kv_dtype,
+                               quant_embed):
     """North-star gate: <= 0.1 ppl delta vs the bf16 baseline for every
     supported quantization config, measured through the serving path."""
     model_dir, _ = hf_model_dir
     base = evaluate(make_config(model_dir, dtype="bfloat16"), tokens,
                     chunk=CHUNK)
     q = evaluate(make_config(model_dir, quant=quant, kv_dtype=kv_dtype,
-                             dtype="bfloat16"), tokens, chunk=CHUNK)
+                             dtype="bfloat16", quant_embed=quant_embed),
+                 tokens, chunk=CHUNK)
     delta = abs(q["ppl"] - base["ppl"])
     assert delta <= 0.1, (quant, kv_dtype, q["ppl"], base["ppl"], delta)
