@@ -28,6 +28,10 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
@@ -119,16 +123,18 @@ def evaluate(config: Config, tokens, chunk: int = 512) -> dict:
 # Sweep configs: (name, quant, kv_cache_dtype). "Matched bit-width" gate
 # pairs: w8/kv8 vs bf16, w4/kv4 vs bf16.
 SWEEP = [
-    ("bf16", "none", "auto"),
-    ("w8", "int8", "auto"),
-    ("w4", "int4", "auto"),
-    ("kv8", "none", "int8"),
-    ("kv4", "none", "int4"),
-    ("w8+kv8", "int8", "int8"),
+    ("bf16", "none", "auto", False),
+    ("w8", "int8", "auto", False),
+    ("w4", "int4", "auto", False),
+    ("kv8", "none", "int8", False),
+    ("kv4", "none", "int4", False),
+    ("w8+kv8", "int8", "int8", False),
+    ("w8+kv8+qe", "int8", "int8", True),
 ]
 
 
-def make_config(args, quant: str, kv_dtype: str) -> Config:
+def make_config(args, quant: str, kv_dtype: str,
+                quant_embed: bool = False) -> Config:
     mc = None if args.model else ModelConfig()
     max_len = cdiv(args.n_tokens, 128) * 128
     return Config(
@@ -139,7 +145,7 @@ def make_config(args, quant: str, kv_dtype: str) -> Config:
         attn_backend=args.backend,
         kvcache_block_size=args.page_size,
         prefill_q_tile=args.page_size,
-        quant=quant, kv_cache_dtype=kv_dtype,
+        quant=quant, kv_cache_dtype=kv_dtype, quant_embed=quant_embed,
         load_format="auto" if args.model else "random",
         dtype=args.dtype,
     )
@@ -176,6 +182,7 @@ def main():
     p.add_argument("--quant", default="none", choices=["none", "int8", "int4"])
     p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "bfloat16", "int8", "int4"])
+    p.add_argument("--quant-embed", action="store_true")
     p.add_argument("--sweep", action="store_true",
                    help="evaluate bf16 + all quant configs, print gate verdict")
     args = p.parse_args()
@@ -183,10 +190,10 @@ def main():
     toks = load_tokens(args)
     configs = SWEEP if args.sweep else [
         (f"{args.quant}/{args.kv_cache_dtype}", args.quant,
-         args.kv_cache_dtype)]
+         args.kv_cache_dtype, args.quant_embed)]
     results = {}
-    for name, quant, kvd in configs:
-        r = evaluate(make_config(args, quant, kvd), toks, args.chunk)
+    for name, quant, kvd, qe in configs:
+        r = evaluate(make_config(args, quant, kvd, qe), toks, args.chunk)
         results[name] = r
         line = dict(config=name, quant=quant, kv_cache_dtype=kvd, **r)
         if "bf16" in results and name != "bf16":
