@@ -111,33 +111,36 @@ class ModelRunner:
         cfg, mc = self.config, self.mc
         t0 = time.perf_counter()
         use_random = cfg.load_format == "random" or not cfg.model
-        if use_random:
-            host_params = init_random_params(mc, self.dtype, cfg.seed)
-        else:
-            host_params = load_params(cfg.model, mc, self.dtype)
-        if cfg.quant != "none":
-            from nanovllm_tpu.ops.quant import quantize_params
-            import contextlib
-            # Quantize on the HOST: the jnp quantize math would otherwise run
-            # on the accelerator with multi-GiB fp32 transients (an 8B leaf
-            # peaks ~12 GiB) that the tunnel runtime frees lazily — observed
-            # as RESOURCE_EXHAUSTED in the first warmup step after an
-            # apparently-successful load.
-            try:
-                cpu = jax.devices("cpu")
-            except Exception:
-                cpu = []
-            ctx = jax.default_device(cpu[0]) if cpu else contextlib.nullcontext()
-            # INT4 uses the nibble-packed Pallas matmul under tp=1; with
-            # tensor parallelism the matmuls are GSPMD-partitioned (a Pallas
-            # call would need its own shard_map), so keep jnp.int4 leaves
-            # there (CPU-correct; the TPU runtime can't pass S4 jit args —
-            # ops/qmm_pallas.py — so int4+tp>1 is CPU/test-only for now).
-            with ctx:
+        # Init/load AND quantize on the HOST: jnp math would otherwise run on
+        # the accelerator — an 8B random init is 16.4 GiB of bf16 and the
+        # quantize transients peak multi-GiB more, which the tunnel runtime
+        # frees lazily enough to RESOURCE_EXHAUSTED either immediately or in
+        # the first warmup step. Only the final sharded device_put below
+        # should ever touch the accelerator.
+        import contextlib
+        try:
+            cpu = jax.devices("cpu")
+        except Exception:
+            cpu = []
+        ctx = jax.default_device(cpu[0]) if cpu else contextlib.nullcontext()
+        with ctx:
+            if use_random:
+                host_params = init_random_params(mc, self.dtype, cfg.seed)
+            else:
+                host_params = load_params(cfg.model, mc, self.dtype)
+            if cfg.quant != "none":
+                from nanovllm_tpu.ops.quant import quantize_params
+                # INT4 uses the nibble-packed Pallas matmul under tp=1; with
+                # tensor parallelism the matmuls are GSPMD-partitioned (a
+                # Pallas call would need its own shard_map), so keep
+                # jnp.int4 leaves there (CPU-correct; the TPU runtime can't
+                # pass S4 jit args — ops/qmm_pallas.py — so int4+tp>1 is
+                # CPU/test-only for now).
                 host_params = quantize_params(
                     host_params, 8 if cfg.quant == "int8" else 4,
                     pack=None if cfg.tensor_parallel_size == 1 else False,
                     quant_embed=cfg.quant_embed)
+            jax.block_until_ready(host_params)
         shardings = param_shardings(self.mesh, host_params)
         self.params = jax.tree.map(
             lambda a, s: jax.device_put(jnp.asarray(a), s),
