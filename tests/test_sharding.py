@@ -66,3 +66,17 @@ def test_tp_int8_kv_pallas_matches_single():
     outs = make_llm(2, **kw).generate(PROMPTS, SP, use_tqdm=False)
     for o, ref in zip(outs, base):
         assert o["token_ids"] == ref
+
+
+def test_tp_quant_embed_matches_single():
+    """INT8 embedding (per-ROW scales) under tensor parallelism: the
+    row-quantized dict leaf shards by vocab rows (q AND s together —
+    parallel/sharding.adapt's s.shape[-1]==1 branch); tp=2 greedy tokens
+    must equal tp=1 exactly (same quantization, sharding-invariant math)."""
+    assert len(jax.devices()) >= 2
+    kw = dict(quant="int8", quant_embed=True)
+    base = [o["token_ids"] for o in
+            make_llm(1, **kw).generate(PROMPTS, SP, use_tqdm=False)]
+    outs = make_llm(2, **kw).generate(PROMPTS, SP, use_tqdm=False)
+    for o, ref in zip(outs, base):
+        assert o["token_ids"] == ref
