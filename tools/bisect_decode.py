@@ -1,4 +1,6 @@
-"""Bisect the decode dispatch on real TPU: full vs no-KV-write vs no-attention (usage: python tools/bisect_decode.py [full|nowrite|noattn])."""
+"""Bisect the decode dispatch on real TPU: full vs no-KV-write vs
+no-attention vs no-sampler vs no-lm-head
+(usage: python tools/bisect_decode.py [full|nowrite|noattn|nosample|nolmhead])."""
 import logging, os, sys, time
 logging.basicConfig(level=logging.INFO)
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -35,6 +37,27 @@ elif mode == "nowrite":
         return orig_decode(q, kr, vr, sc, data, scales, li, ctx, bt, slots,
                            **kw)
     ap.paged_decode_attention = _nw
+elif mode == "nosample":
+    # Constant token feedback: removes Gumbel RNG + fused argmax, keeps the
+    # lm_head matmul (its fp32 [64, V] logits still materialize).
+    import jax.numpy as jnp
+    import nanovllm_tpu.engine.model_runner as mr
+    mr.sample = lambda logits, temps, rng, *a: jnp.full(
+        logits.shape[:-1], 7, jnp.int32)
+elif mode == "nolmhead":
+    # Also skip the lm_head matmul: forward returns zero logits (the matmul
+    # DCEs because nothing consumes x's last-token rows).
+    import jax.numpy as jnp
+    import nanovllm_tpu.engine.model_runner as mr
+    from nanovllm_tpu.models import qwen3 as q3
+    orig_fwd = q3.forward
+    def _nolm(params, cfg2, kv_cache, meta, attn_fn):
+        logits, kv_cache = orig_fwd(params, cfg2, kv_cache, meta, attn_fn)
+        logits = jnp.zeros_like(logits)
+        return logits, kv_cache
+    mr.qwen3 = type("M", (), {"forward": staticmethod(_nolm)})
+    mr.sample = lambda logits, temps, rng, *a: jnp.full(
+        logits.shape[:-1], 7, jnp.int32)
 print("mode:", mode)
 
 bm = BlockManager(cfg.num_kvcache_blocks, cfg.kvcache_block_size)
