@@ -55,20 +55,22 @@ def param_shapes(cfg: ModelConfig) -> dict:
 
 def init_random_params(cfg: ModelConfig, dtype=jnp.bfloat16, seed: int = 0):
     """Random-normal weights in the exact serving layout — used when no model
-    files exist on disk (throughput benches don't depend on weight values)."""
+    files exist on disk (throughput benches don't depend on weight values).
+    numpy host arrays: deterministic for a fixed seed, and ~20x faster than
+    threefry on CPU (an 8B init dropped from ~11 min to seconds)."""
+    import numpy as np
     shapes = param_shapes(cfg)
     norm_names = {"input_ln", "post_ln", "q_norm", "k_norm", "final_ln"}
-    key = jax.random.PRNGKey(seed)
+    rng = np.random.default_rng(seed)
+    npdtype = jnp.dtype(dtype)
 
     def init_leaf(path, shape):
-        nonlocal key
         name = path[-1]
         if name in norm_names:
-            return jnp.ones(shape, dtype)
+            return np.ones(shape, npdtype)
         if name in ("bq", "bk", "bv"):
-            return jnp.zeros(shape, dtype)
-        key, sub = jax.random.split(key)
-        return (jax.random.normal(sub, shape, jnp.float32) * 0.02).astype(dtype)
+            return np.zeros(shape, npdtype)
+        return (rng.standard_normal(shape, np.float32) * 0.02).astype(npdtype)
 
     def walk(tree, path=()):
         if isinstance(tree, tuple):
