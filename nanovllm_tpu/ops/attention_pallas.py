@@ -530,10 +530,15 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     rpp = scale_rows_per_page(hkv)
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
-        # 512-token chunks: per-chunk fixed cost (DMA issue + dot latency)
-        # was the measured kernel limit; page copies past ceil(ctx/ps) are
-        # predicated off, so big chunks cost no masked-read DMA waste.
-        pages_per_chunk = max(1, 512 // page_size)
+        # 1024-token chunks: per-chunk fixed cost (DMA issue + dot latency)
+        # is the measured kernel limit — widening 512->1024 lifts the
+        # chained ctx-1536 stream from 651 to 722 GB/s (bench_kernels).
+        # End-to-end the difference sits inside the tunnel's same-day
+        # session noise (identical programs measured 5310-5593 tok/s hours
+        # apart), and 1536-token chunks regress the mixed-ctx engine run.
+        # Page copies past ceil(ctx/ps) are predicated off, so big chunks
+        # cost no masked-read DMA waste.
+        pages_per_chunk = max(1, 1024 // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     ps = page_size
