@@ -140,14 +140,15 @@ def main():
 
     # Warmup: compile the exact buckets the workload will hit (CUDA-graph-
     # capture equivalent), excluded from timing like the reference's warmup
-    # generate. Prefill batches pack max_num_batched_tokens // input_len
-    # seqs; decode runs the full batch.
+    # generate. The scheduler packs by TILE-PADDED tokens, so the warm shape
+    # must use the padded per-seq length or it compiles a never-hit bucket.
+    tq = llm.config.prefill_q_tile
+    pad_len = -(-args.input_len // tq) * tq
     seqs_per_prefill = min(args.num_seqs,
                            max(1, llm.config.max_num_batched_tokens
-                               // args.input_len))
+                               // pad_len))
     llm.warmup(decode_bs=[args.num_seqs],
-               prefill=[(seqs_per_prefill * args.input_len,
-                         seqs_per_prefill)])
+               prefill=[(seqs_per_prefill * pad_len, seqs_per_prefill)])
     # Warmup generate (excluded from timing, like the reference bench.py's):
     # different random prompts, same shapes — absorbs first-execution stalls
     # without seeding the prefix cache for the timed prompts.

@@ -204,8 +204,20 @@ class Config:
                 self.model_config = ModelConfig()
         mc = self.model_config
         self.max_model_len = min(self.max_model_len, mc.max_position_embeddings)
-        assert self.max_num_batched_tokens >= self.max_model_len, (
-            "a single max-length prompt must fit in one prefill batch"
+        # The scheduler budgets TILE-PADDED tokens, so the invariant that
+        # keeps every valid-length request schedulable is on the padded
+        # max length, not the raw one.
+        padded_max = cdiv(self.max_model_len, self.prefill_q_tile) \
+            * self.prefill_q_tile
+        assert self.max_num_batched_tokens >= padded_max, (
+            f"a single max-length prompt must fit in one prefill batch: "
+            f"max_num_batched_tokens={self.max_num_batched_tokens} < "
+            f"{padded_max} (max_model_len={self.max_model_len} padded to "
+            f"prefill_q_tile={self.prefill_q_tile})"
+        )
+        assert not self.quant_embed or self.quant != "none", (
+            "quant_embed requires quant='int8' or 'int4' (the embedding is "
+            "quantized alongside the matmul weights)"
         )
         if self.eos < 0:
             self.eos = mc.eos_token_id

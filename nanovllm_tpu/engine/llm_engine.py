@@ -156,8 +156,18 @@ class LLMEngine:
             from tqdm.auto import tqdm
             pbar = tqdm(total=len(prompts), desc="Generating", dynamic_ncols=True)
 
-        seq_ids = [self.add_request(p, sp)
-                   for p, sp in zip(prompts, sampling_params)]
+        seq_ids = []
+        try:
+            for p, sp in zip(prompts, sampling_params):
+                seq_ids.append(self.add_request(p, sp))
+        except ValueError:
+            # Don't orphan the batch's already-enqueued prompts: they are
+            # still WAITING (no step has run), so withdraw them rather than
+            # leave the next generate() silently finishing abandoned work.
+            added = set(seq_ids)
+            self.scheduler.waiting = type(self.scheduler.waiting)(
+                s for s in self.scheduler.waiting if s.seq_id not in added)
+            raise
         order = {sid: i for i, sid in enumerate(seq_ids)}
         outputs: dict[int, list[int]] = {}
         prefill_tput = decode_tput = 0.0

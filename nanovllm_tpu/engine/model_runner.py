@@ -142,9 +142,10 @@ class ModelRunner:
                     quant_embed=cfg.quant_embed)
             jax.block_until_ready(host_params)
         shardings = param_shardings(self.mesh, host_params)
-        self.params = jax.tree.map(
-            lambda a, s: jax.device_put(jnp.asarray(a), s),
-            host_params, shardings)
+        # device_put directly on the host arrays: a jnp.asarray here would
+        # materialize each full unsharded leaf on accelerator device 0
+        # before resharding (multi-GiB transients for 8B at tp>1).
+        self.params = jax.tree.map(jax.device_put, host_params, shardings)
         jax.block_until_ready(self.params)
         logger.info("weights %s in %.1fs",
                     "initialized" if use_random else "loaded",

@@ -298,3 +298,17 @@ def test_int4_weights_pallas_matches_ref_backend_e2e():
         prompts, sp, use_tqdm=False)
     for a, b in zip(ref_out, pallas_out):
         assert a["token_ids"] == b["token_ids"]
+
+
+def test_failed_batch_leaves_no_orphans():
+    """A ValueError mid-batch must withdraw the batch's already-enqueued
+    prompts — otherwise the next generate() silently spends steps finishing
+    abandoned work."""
+    llm = make_llm(max_model_len=64, max_num_batched_tokens=512)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    with pytest.raises(ValueError):
+        llm.generate([[1, 2, 3], [4, 5, 6], list(range(1, 100))], sp,
+                     use_tqdm=False)
+    assert llm.scheduler.is_finished()  # nothing left behind
+    out = llm.generate([[7, 8, 9]], sp, use_tqdm=False)
+    assert len(out) == 1 and len(out[0]["token_ids"]) == 4
