@@ -134,8 +134,9 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     k_chunk = kv_slot[:chunk]
     v_chunk = kv_slot[chunk:2 * chunk]
     if int4:
-        k_chunk = unpack_int4(k_chunk, d)
-        v_chunk = unpack_int4(v_chunk, d)
+        kv_dt = jnp.int8 if int8_dots else dot_dtype
+        k_chunk = unpack_int4(k_chunk, d, kv_dt)
+        v_chunk = unpack_int4(v_chunk, d, kv_dt)
     if quantized:
         # One [2*Hq, RPP] selector dot per page yields BOTH scale rows
         # (score rows on top, prob rows below) — half the tiny-dot count.
@@ -207,8 +208,8 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
     k_chunk = kv_slot[:chunk]
     v_chunk = kv_slot[chunk:2 * chunk]
     if int4:
-        k_chunk = unpack_int4(k_chunk, d)
-        v_chunk = unpack_int4(v_chunk, d)
+        k_chunk = unpack_int4(k_chunk, d, dot_dtype)
+        v_chunk = unpack_int4(v_chunk, d, dot_dtype)
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
@@ -666,8 +667,8 @@ def _diag_heads(carry, q_heads, kr, vr, sc_ref, mask, tq, npw, rpp, ps, hkv,
     sc_ref: the tile's [npw*RPP, ps] transposed scale blocks (or None);
     mask: [rows, tq]. q_heads carry the softmax scale pre-folded."""
     if int4:
-        kr = unpack_int4(kr, d)
-        vr = unpack_int4(vr, d)
+        kr = unpack_int4(kr, d, dot_dtype)
+        vr = unpack_int4(vr, d, dot_dtype)
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]

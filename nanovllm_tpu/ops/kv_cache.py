@@ -83,11 +83,12 @@ def pack_int4(q, d: int):
     return jnp.concatenate(blocks, axis=-1).astype(jnp.int8)
 
 
-def unpack_int4(b, d: int):
-    """int8[..., Hkv*D//2] -> int8[..., Hkv*D] (sign-extended nibbles,
+def unpack_int4(b, d: int, out_dtype=jnp.int8):
+    """int8[..., Hkv*D//2] -> out_dtype[..., Hkv*D] (sign-extended nibbles,
     heads back in order). Nibble arithmetic runs in int32: Mosaic has no
     int8 vector shifts (arith.shli fails to legalize), and this also runs
-    inside the Pallas kernels."""
+    inside the Pallas kernels. Pass the consuming dot's dtype (bf16) to
+    skip the int32->int8->bf16 conversion round-trip."""
     x = b.astype(jnp.int32)
     pairs = b.shape[-1] // d
     blocks = []
@@ -96,7 +97,7 @@ def unpack_int4(b, d: int):
         # lo nibble sign-extended via shift-up/arithmetic-shift-down.
         blocks.append(jnp.right_shift(jnp.left_shift(blk, 28), 28))
         blocks.append(jnp.right_shift(blk, 4))                     # hi
-    return jnp.concatenate(blocks, axis=-1).astype(jnp.int8)
+    return jnp.concatenate(blocks, axis=-1).astype(out_dtype)
 
 
 def scale_rows_per_page(num_kv_heads: int) -> int:
