@@ -64,12 +64,16 @@ def main():
     p.add_argument("--input-len", type=int, default=1024)
     p.add_argument("--output-len", type=int, default=1024)
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
-    p.add_argument("--kv-cache-dtype", default="int8",
+    # INT4 KV + INT4 weights is the fastest measured config at every batch
+    # size since the nibble-plane weight kernel and the dtype-direct KV
+    # unpack (same-session A/B at 64x1024/1024: kv4 5622 vs kv8 5363; bs=8
+    # w4+kv4 2897 vs w8+kv8 2636). Accuracy for every config is CI-gated at
+    # <= 0.1 ppl vs bf16 (tests/test_ppl_gate.py). int4 packing is tp=1-only
+    # (nibble-packed args; GSPMD shards the unpacked forms) — tp>1 runs
+    # auto-fall back to int8.
+    p.add_argument("--kv-cache-dtype", default="int4",
                    choices=["auto", "bfloat16", "int8", "int4"])
-    # Weight-only INT8 (per-output-channel absmax, dequant fused into the
-    # matmuls) halves weight+lm_head HBM reads per decode step; accuracy is
-    # gated by tests/test_model_parity.py's dequant-parity check.
-    p.add_argument("--quant", default="int8", choices=["none", "int8", "int4"])
+    p.add_argument("--quant", default="int4", choices=["none", "int8", "int4"])
     p.add_argument("--quant-embed", action="store_true",
                    help="int8 embedding rows (frees vocab*hidden HBM bytes)")
     # 128 fused steps amortize the per-dispatch host round-trip to ~0.4 ms.
@@ -97,6 +101,14 @@ def main():
     args = p.parse_args()
 
     max_model_len = args.max_model_len or (args.input_len + args.output_len)
+    if args.tp > 1:
+        # Packed-int4 forms are tp=1-only (see --kv-cache-dtype help).
+        if args.quant == "int4":
+            print("note: --tp > 1 downgrades quant int4 -> int8", flush=True)
+            args.quant = "int8"
+        if args.kv_cache_dtype == "int4":
+            print("note: --tp > 1 downgrades kv int4 -> int8", flush=True)
+            args.kv_cache_dtype = "int8"
     extra = {}
     if args.hbm_utilization is not None:
         extra["hbm_utilization"] = args.hbm_utilization
