@@ -538,8 +538,10 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         # session noise (identical programs measured 5310-5593 tok/s hours
         # apart), and 1536-token chunks regress the mixed-ctx engine run.
         # Page copies past ceil(ctx/ps) are predicated off, so big chunks
-        # cost no masked-read DMA waste.
-        pages_per_chunk = max(1, 1024 // page_size)
+        # cost no masked-read DMA waste. hq>16 shapes (Qwen3-4B/8B) blow
+        # the Mosaic VMEM budget at 1024 ("Ran out of memory in memory
+        # space vmem" at compile) — they keep 512.
+        pages_per_chunk = max(1, (1024 if hq <= 16 else 512) // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     ps = page_size
@@ -969,8 +971,9 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         # 1024-token chunks (measured: +1.1 prefill-MFU pts and the best
         # headline run vs 512 — wider chunks amortize per-chunk fixed costs;
         # ~2 MiB int8 KV per buffer at Hkv*D=1024, well under the VMEM
-        # limit). Page copies past pos0 are predicated off.
-        pages_per_chunk = max(1, 1024 // page_size)
+        # limit). Page copies past pos0 are predicated off. hq>16 shapes
+        # keep 512 (Mosaic VMEM-OOMs at compile on the 4B/8B shapes).
+        pages_per_chunk = max(1, (1024 if hq <= 16 else 512) // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
