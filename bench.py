@@ -68,12 +68,14 @@ def main():
     # size since the nibble-plane weight kernel and the dtype-direct KV
     # unpack (same-session A/B at 64x1024/1024: kv4 5622 vs kv8 5363; bs=8
     # w4+kv4 2897 vs w8+kv8 2636). Accuracy for every config is CI-gated at
-    # <= 0.1 ppl vs bf16 (tests/test_ppl_gate.py). int4 packing is tp=1-only
-    # (nibble-packed args; GSPMD shards the unpacked forms) — tp>1 runs
-    # auto-fall back to int8.
-    p.add_argument("--kv-cache-dtype", default="int4",
+    # <= 0.1 ppl vs bf16 (tests/test_ppl_gate.py) — on a tiny random-init
+    # model; full-size checkpoints are gated by tools/eval_ppl.py. So the
+    # random-weight throughput path defaults to int4, but a REAL --model
+    # checkpoint defaults to unquantized (pass --quant/--kv-cache-dtype
+    # explicitly to benchmark a quantized real model).
+    p.add_argument("--kv-cache-dtype", default=None,
                    choices=["auto", "bfloat16", "int8", "int4"])
-    p.add_argument("--quant", default="int4", choices=["none", "int8", "int4"])
+    p.add_argument("--quant", default=None, choices=["none", "int8", "int4"])
     p.add_argument("--quant-embed", action="store_true",
                    help="int8 embedding rows (frees vocab*hidden HBM bytes)")
     # 128 fused steps amortize the per-dispatch host round-trip to ~0.4 ms.
@@ -100,6 +102,10 @@ def main():
     p.add_argument("--distributed", action="store_true")
     args = p.parse_args()
 
+    if args.quant is None:
+        args.quant = "none" if args.model else "int4"
+    if args.kv_cache_dtype is None:
+        args.kv_cache_dtype = "auto" if args.model else "int4"
     max_model_len = args.max_model_len or (args.input_len + args.output_len)
     if args.tp > 1:
         # Packed-int4 forms are tp=1-only (see --kv-cache-dtype help).
@@ -118,6 +124,11 @@ def main():
         extra["prefill_pages_per_chunk"] = args.pages_per_chunk
     if args.num_pages is not None:
         extra["num_kvcache_blocks"] = args.num_pages
+    print(f"bench config: model={args.model or f'random-{args.model_size}'} "
+          f"backend={args.attn_backend} quant={args.quant} "
+          f"kv_cache_dtype={args.kv_cache_dtype} "
+          f"quant_embed={args.quant_embed} tp={args.tp} "
+          f"{args.num_seqs}x{args.input_len}/{args.output_len}", flush=True)
     llm = LLM(
         args.model,
         model_config=None if args.model else QWEN3_SIZES[args.model_size],

@@ -215,6 +215,14 @@ class Config:
             f"{padded_max} (max_model_len={self.max_model_len} padded to "
             f"prefill_q_tile={self.prefill_q_tile})"
         )
+        # The runner's prefill bucket ladder rounds the padded token total UP
+        # to a power of two (model_runner.bucket_key), so a non-pow2 budget
+        # would let a legal batch dispatch up to ~2x the budgeted tokens —
+        # past the activation headroom the HBM sizing reserves, and into an
+        # unwarmed bucket (which the tunnel runtime hangs on rather than
+        # OOMs). Round the budget up so the dispatch ceiling and the budget
+        # coincide; the HBM sizing reads the rounded value.
+        self.max_num_batched_tokens = _next_pow2(self.max_num_batched_tokens)
         assert not self.quant_embed or self.quant != "none", (
             "quant_embed requires quant='int8' or 'int4' (the embedding is "
             "quantized alongside the matmul weights)"
@@ -233,3 +241,7 @@ class Config:
 
 def cdiv(a: int, b: int) -> int:
     return -(-a // b)
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, n - 1).bit_length()

@@ -103,6 +103,13 @@ class LLMEngine:
 
     def step(self) -> tuple[list[tuple[int, list[int]]], StepStats]:
         seqs, stats = self.scheduler.schedule()
+        forced = self.scheduler.force_finished
+        if forced:
+            # Permanently-inadmissible preempted sequences: return their
+            # partial completions (scheduler.schedule documents the edge).
+            self.scheduler.force_finished = []
+            outs = [(s.seq_id, s.completion_token_ids) for s in forced]
+            return outs, stats
         if not seqs:
             # Liveness edge: the sole runnable seq preempted itself
             # (reference scheduler.py:78-82 assert) — nothing ran this step;

@@ -47,6 +47,9 @@ class Scheduler:
         self.waiting: deque[Sequence] = deque()
         self.running: deque[Sequence] = deque()
         self.num_preempted_total = 0
+        # Sequences force-finished by schedule() (preempted past what the
+        # page pool can ever re-admit); the engine drains these into outputs.
+        self.force_finished: list[Sequence] = []
 
     def is_finished(self) -> bool:
         return not self.waiting and not self.running
@@ -97,16 +100,33 @@ class Scheduler:
         if not self.running and self.waiting:
             # Nothing scheduled, nothing running: no future step can free
             # pages or budget, so the head of `waiting` is permanently
-            # inadmissible — raise instead of letting generate() busy-spin
-            # forever (add_request validates lengths, so this only fires on
-            # pathological configs, e.g. num_kvcache_blocks shrunk below one
-            # max-length sequence).
+            # inadmissible. A PREEMPTED sequence that grew past what a small
+            # page pool can ever re-allocate is finished with the tokens it
+            # already produced (raising would discard the whole batch's
+            # completed work); a fresh request is a pathological config
+            # (add_request validates lengths), so raise loudly.
             seq = self.waiting[0]
+            if seq.num_completion_tokens > 0:
+                import logging
+                logging.getLogger("nanovllm_tpu").warning(
+                    "sequence %d (%d tokens) can no longer be scheduled "
+                    "(free pages %d); returning its %d completed tokens — "
+                    "raise num_kvcache_blocks (bench: --num-pages) to avoid "
+                    "truncation", seq.seq_id, len(seq),
+                    self.block_manager.num_free_blocks,
+                    seq.num_completion_tokens)
+                self.waiting.popleft()
+                seq.status = SequenceStatus.FINISHED
+                self.force_finished.append(seq)
+                return [], StepStats(is_prefill=False,
+                                     num_scheduled_tokens=0, num_seqs=0)
             raise RuntimeError(
                 f"request of {len(seq)} tokens ({len(seq) - seq.num_cached_tokens}"
                 f" uncached) can never be scheduled: padded budget "
                 f"{self.max_num_batched_tokens}, free pages "
-                f"{self.block_manager.num_free_blocks}")
+                f"{self.block_manager.num_free_blocks} — raise "
+                f"num_kvcache_blocks (bench: --num-pages) or "
+                f"max_num_batched_tokens")
 
         # Decode: FCFS over `running`; on page exhaustion preempt from the
         # tail (most recently admitted) until the head can reserve. K decode

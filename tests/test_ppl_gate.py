@@ -85,13 +85,28 @@ def test_pallas_backend_ppl_matches_ref(hf_model_dir, tokens):
 
 
 @pytest.mark.parametrize("quant,kv_dtype,quant_embed", [
+    # Singles, then every SHIPPED combination: bench.py's default is
+    # (int4, int4); the README 8B table ships (int4, int4, +qe) and
+    # (int8, int4, +qe). Quantization errors compose, so the gate must run
+    # the exact composites.
     ("int8", "auto", False), ("int4", "auto", False), ("none", "int8", False),
     ("none", "int4", False), ("int8", "int8", False), ("int8", "int8", True),
+    ("int4", "int4", False), ("int4", "int4", True), ("int8", "int4", True),
 ])
 def test_quantization_ppl_gate(hf_model_dir, tokens, quant, kv_dtype,
                                quant_embed):
     """North-star gate: <= 0.1 ppl delta vs the bf16 baseline for every
-    supported quantization config, measured through the serving path."""
+    supported quantization config, measured through the serving path.
+
+    NOTE: this CI gate runs on a tiny RANDOM-INIT model whose logits are
+    near-uniform — much weaker evidence than trained weights. For a real
+    checkpoint, run the one-command full-size gate:
+        python tools/eval_ppl.py --model <dir> --sweep
+    """
+    import sys
+    print("\n[ppl-gate] running on a tiny RANDOM-INIT model; gate trained "
+          "checkpoints with `python tools/eval_ppl.py --model <dir>`",
+          file=sys.stderr)
     model_dir, _ = hf_model_dir
     base = evaluate(make_config(model_dir, dtype="bfloat16"), tokens,
                     chunk=CHUNK)

@@ -198,3 +198,31 @@ def test_schedule_raises_when_head_never_admissible():
     sch.add(seq(100))
     with pytest.raises(RuntimeError, match="never be scheduled"):
         sch.schedule()
+
+
+def test_preempted_seq_past_pool_capacity_force_finishes():
+    """A PREEMPTED sequence that has grown past what the page pool can ever
+    re-allocate is finished with its partial output (scheduler.force_finished)
+    instead of raising away the whole batch's completed work."""
+    # 4 pages x 16 tokens = 64-token pool; prompt of 40 fits, then grows.
+    sch = make_scheduler(num_blocks=4, max_tokens=512)
+    s = seq(40, max_tokens=400)
+    sch.add(s)
+    seqs, stats = sch.schedule()
+    assert stats.is_prefill and seqs == [s]
+    # Decode until a reserve fails and the seq self-preempts.
+    tok = 1000
+    for _ in range(64):
+        seqs, stats = sch.schedule()
+        if not seqs:
+            break
+        sch.postprocess(seqs, [[tok]] * len(seqs))
+        tok += 1
+    else:
+        raise AssertionError("sequence never self-preempted")
+    # Preempted with >64 total tokens: re-admission is impossible.
+    assert len(s) > 64 and s.num_completion_tokens > 0
+    seqs, stats = sch.schedule()
+    assert seqs == [] and sch.force_finished == [s]
+    assert s.status == SequenceStatus.FINISHED
+    assert sch.is_finished()

@@ -130,6 +130,10 @@ SWEEP = [
     ("kv4", "none", "int4", False),
     ("w8+kv8", "int8", "int8", False),
     ("w8+kv8+qe", "int8", "int8", True),
+    # The shipped composites: bench.py's default and the README 8B configs.
+    ("w4+kv4", "int4", "int4", False),
+    ("w4+kv4+qe", "int4", "int4", True),
+    ("w8+kv4+qe", "int8", "int4", True),
 ]
 
 
