@@ -48,13 +48,14 @@ def timeit_chained(fn, q, *args, iters=20, **kw):
 
 def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
                  dtype=jnp.bfloat16, page_order="rand", int8_dots=False,
-                 ppc=0, spare_pages=0):
+                 ppc=0, spare_pages=0, kv_bits=8):
     pps = -(-ctx // page_size)
     num_pages = bs * pps + 1 + spare_pages
     num_slots = num_pages * page_size
     key = jax.random.PRNGKey(0)
     q = jax.random.normal(key, (bs, hq, d), jnp.bfloat16)
-    cache = create_kv_cache(1, hkv, num_pages, page_size, d, dtype)
+    cache = create_kv_cache(1, hkv, num_pages, page_size, d, dtype,
+                            kv_bits=kv_bits if kv_bits == 4 else 0)
     rng = np.random.default_rng(0)
     if page_order == "seq":
         # The engine's prefill allocation: a sequence's pages contiguous.
@@ -89,7 +90,8 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
     from nanovllm_tpu.ops.kv_cache import quantize_kv_rows
 
     if dtype == jnp.int8:
-        kq, vq, cols = quantize_kv_rows(q[:, :hkv, :], q[:, :hkv, :])
+        kq, vq, cols = quantize_kv_rows(q[:, :hkv, :], q[:, :hkv, :],
+                                        kv_bits)
     else:
         kq = q[:, :hkv, :].reshape(bs, hkv * d).astype(dtype)
         vq = kq
@@ -102,7 +104,7 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
             data, scales, 0, ctxs, tables, step_slots,
             scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
             num_layers=1, int8_dots=int8_dots, pages_per_chunk=ppc,
-            interpret=interp)
+            kv_bits=kv_bits, interpret=interp)
         return o, data, scales
 
     data, scales = cache["data"], cache["scales"]
@@ -119,7 +121,8 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
             best = min(best, time.perf_counter() - t0)
         times[iters] = best
     dt = (times[32] - times[8]) / 24  # dispatch-overhead-free slope
-    kv_bytes = 2 * bs * ctx * hkv * d * data.dtype.itemsize
+    per_el = 0.5 if kv_bits == 4 else data.dtype.itemsize
+    kv_bytes = int(2 * bs * ctx * hkv * d * per_el)
     return dt, kv_bytes / dt / 1e9
 
 
@@ -228,7 +231,7 @@ def main():
     p.add_argument("--prefill-len", nargs="+", type=int,
                    default=[512, 2048, 8192])
     p.add_argument("--kv-dtype", default="bfloat16",
-                   choices=["bfloat16", "int8"])
+                   choices=["bfloat16", "int8", "int4"])
     p.add_argument("--page-size", nargs="+", type=int, default=[128])
     p.add_argument("--page-order", default="rand",
                    choices=["rand", "seq", "rr"])
@@ -253,6 +256,7 @@ def main():
         return
     import jax.numpy as _jnp
     kv_dtype = _jnp.bfloat16 if args.kv_dtype == "bfloat16" else _jnp.int8
+    kv_bits = 4 if args.kv_dtype == "int4" else 8
     print(f"\n== paged decode kernel ({args.kv_dtype} KV) ==")
     for page in args.page_size:
         for bs in args.decode_bs:
@@ -262,7 +266,8 @@ def main():
                                         page_order=args.page_order,
                                         int8_dots=args.int8_dots,
                                         ppc=args.ppc,
-                                        spare_pages=args.spare_pages)
+                                        spare_pages=args.spare_pages,
+                                        kv_bits=kv_bits)
                 print(f"page={page:<4d} bs={bs:<4d} ctx={ctx:<6d} "
                       f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s KV-read",
                       flush=True)

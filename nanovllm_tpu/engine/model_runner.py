@@ -83,15 +83,10 @@ class ModelRunner:
         kvd = config.kv_cache_dtype
         self.kv_dtype = self.dtype if kvd == "auto" else (
             jnp.int8 if kvd in ("int8", "int4") else jnp.dtype(kvd))
-        # Nibble-packed int4 halves the data lane width; the scale
-        # machinery is the int8 one (see ops/kv_cache.py).
+        # Token-plane int4 packs 8 tokens per int32 row at the FULL lane
+        # width (ops/kv_cache.py), so TP lane-sharding stays head-aligned
+        # with no pairing constraint.
         self.kv_bits = 4 if kvd == "int4" else 8
-        if self.kv_bits == 4 and config.tensor_parallel_size > 1:
-            # Head-PAIR packing: a lane shard must own whole pairs.
-            assert (self.mc.num_key_value_heads
-                    // config.tensor_parallel_size) % 2 == 0, (
-                "int4 KV with tensor parallelism needs an even number of "
-                "KV heads per shard (head-pair nibble packing)")
         self._step_fns: dict = {}
         # RBG keys: the sampler draws |V| Gumbels per sequence per step;
         # threefry costs ~20 VPU ops/element (~0.2 ms/step at 64x151936),

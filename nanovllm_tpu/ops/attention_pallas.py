@@ -52,28 +52,54 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, quantize_kv_blocks,
-                                        quantize_kv_rows,
-                                        scale_rows_per_page, unpack_int4)
+from nanovllm_tpu.ops.kv_cache import (SCALE_DTYPE, TOKENS_PER_I32,
+                                        data_kv_bits, int4_plane, plane_lane,
+                                        quantize_kv_blocks, quantize_kv_rows,
+                                        scale_rows_per_page)
 
 MASK_VALUE = -0.7 * float(jnp.finfo(jnp.float32).max)
 
 
+def _unpack_pages(x, npages: int, prows: int, dtype):
+    """Token-plane INT4 unpack of `npages` page blocks, PER-PAGE PLANE-MAJOR:
+    x int32 [npages*prows, W] -> dtype [npages*8*prows, W] where page i's
+    unpacked row u = r*prows + j (r = u // prows) holds token 8j + r — the
+    same permuted in-page order the scale blocks store their lanes in
+    (kv_cache.plane_lane), so score lanes and scale lanes line up with no
+    gathers. Two int32 shifts per plane straight from int32 lanes (no
+    int8->int32 widening relayout — the point of the token-plane layout)."""
+    pieces = []
+    for i in range(npages):
+        blk = x[i * prows:(i + 1) * prows]
+        for r in range(TOKENS_PER_I32):
+            pieces.append(int4_plane(blk, r, dtype))
+    return jnp.concatenate(pieces, axis=0)
+
+
+def _plane_pos(w, prows: int, page_size: int):
+    """Token offset of permuted row/lane index `w` (works on iotas): row w
+    of a page-major, per-page plane-major unpacked chunk holds token
+    (w - w%ps) + 8*((w%ps) % prows) + (w%ps) // prows."""
+    inpage = lax.rem(w, page_size)
+    return (w - inpage + TOKENS_PER_I32 * lax.rem(inpage, prows)
+            + lax.div(inpage, prows))
+
+
 def _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size,
                            rpp, li, num_pages, pps, kv_buf, s_buf, sems,
-                           quantized):
+                           quantized, prows):
     """Per-chunk page-copy descriptors with a K/V-SPLIT VMEM destination:
-    page i's K rows land at kv_buf[slot, i*ps:(i+1)*ps] and its V rows at
-    kv_buf[slot, chunk + i*ps : ...], so a chunk's scores need ONE MXU dot
-    per contraction (and probs x V one more) instead of per-page dot/concat
-    chains — the kernels' measured limit is per-chunk fixed cost, not HBM
-    bandwidth. Each copy carries a PREDICATE (page start < `limit` tokens):
-    the caller starts/waits it under pl.when, so a range's last chunk skips
-    pages past ceil(limit/ps) entirely (no masked-read DMA waste).
-    Predicates are pure functions of (si, chunk_idx, i, limit), so starts
-    and waits always match."""
-    rows = page_size
-    chunk = ppc * page_size
+    page i's K rows land at kv_buf[slot, i*prows:(i+1)*prows] and its V rows
+    at kv_buf[slot, chunk_rows + i*prows : ...], so a chunk's scores need
+    ONE MXU dot per contraction (and probs x V one more) instead of per-page
+    dot/concat chains — the kernels' measured limit is per-chunk fixed cost,
+    not HBM bandwidth. `prows` = data rows per page (page_size, or
+    page_size/8 packed int32 rows for token-plane INT4). Each copy carries a
+    PREDICATE (page start < `limit` tokens): the caller starts/waits it
+    under pl.when, so a range's last chunk skips pages past ceil(limit/ps)
+    entirely (no masked-read DMA waste). Predicates are pure functions of
+    (si, chunk_idx, i, limit), so starts and waits always match."""
+    chunk_rows = ppc * prows
 
     def chunk_copies(si, chunk_idx, slot, limit):
         copies = []
@@ -81,13 +107,13 @@ def _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size,
             pg_idx = chunk_idx * ppc + i
             pred = pg_idx * page_size < limit
             page = bt_ref[si, jnp.minimum(pg_idx, pps - 1)]
-            src = (li * num_pages + page) * 2 * page_size
+            src = (li * num_pages + page) * 2 * prows
             copies.append((pred, pltpu.make_async_copy(
-                data_ref.at[pl.ds(src, rows)],
-                kv_buf.at[slot, pl.ds(i * rows, rows)], sems.at[slot])))
+                data_ref.at[pl.ds(src, prows)],
+                kv_buf.at[slot, pl.ds(i * prows, prows)], sems.at[slot])))
             copies.append((pred, pltpu.make_async_copy(
-                data_ref.at[pl.ds(src + page_size, rows)],
-                kv_buf.at[slot, pl.ds(chunk + i * rows, rows)],
+                data_ref.at[pl.ds(src + prows, prows)],
+                kv_buf.at[slot, pl.ds(chunk_rows + i * prows, prows)],
                 sems.at[slot])))
             if quantized:
                 copies.append((pred, pltpu.make_async_copy(
@@ -131,12 +157,16 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     m, l, acc = carry
     chunk = ppc * ps
     int8_dots = q_bd.dtype == jnp.int8
-    k_chunk = kv_slot[:chunk]
-    v_chunk = kv_slot[chunk:2 * chunk]
     if int4:
+        prows = ps // TOKENS_PER_I32
+        chunk_rows = ppc * prows
         kv_dt = jnp.int8 if int8_dots else dot_dtype
-        k_chunk = unpack_int4(k_chunk, d, kv_dt)
-        v_chunk = unpack_int4(v_chunk, d, kv_dt)
+        k_chunk = _unpack_pages(kv_slot[:chunk_rows], ppc, prows, kv_dt)
+        v_chunk = _unpack_pages(kv_slot[chunk_rows:2 * chunk_rows], ppc,
+                                prows, kv_dt)
+    else:
+        k_chunk = kv_slot[:chunk]
+        v_chunk = kv_slot[chunk:2 * chunk]
     if quantized:
         # One [2*Hq, RPP] selector dot per page yields BOTH scale rows
         # (score rows on top, prob rows below) — half the tiny-dot count.
@@ -205,11 +235,15 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
     [1, chunk] broadcast rows sliced from the transposed scale blocks
     (token-major lanes) — cheaper than dequantizing the K/V tiles."""
     chunk = ppc * ps
-    k_chunk = kv_slot[:chunk]
-    v_chunk = kv_slot[chunk:2 * chunk]
     if int4:
-        k_chunk = unpack_int4(k_chunk, d, dot_dtype)
-        v_chunk = unpack_int4(v_chunk, d, dot_dtype)
+        prows = ps // TOKENS_PER_I32
+        chunk_rows = ppc * prows
+        k_chunk = _unpack_pages(kv_slot[:chunk_rows], ppc, prows, dot_dtype)
+        v_chunk = _unpack_pages(kv_slot[chunk_rows:2 * chunk_rows], ppc,
+                                prows, dot_dtype)
+    else:
+        k_chunk = kv_slot[:chunk]
+        v_chunk = kv_slot[chunk:2 * chunk]
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
@@ -249,13 +283,16 @@ def _decode_kernel(
     ctx_ref,        # i32[S]
     bt_ref,         # i32[S, pages_per_seq]
     slot_ref,       # i32[S]  (num_slots for pad/no-write seqs)
+    nibsh_ref,      # i32[S]: 4*(slot % 8) nibble shift (token-plane INT4
+    #                 merge; zeros otherwise)
     # inputs
     q_ref,          # [1, Hq, Hkv*D] VMEM block: PREBUILT block-diagonal q
     #                 (row i nonzero only in head i//g's lane block), bf16 or
     #                 int8 (int8_dots)
     kr_ref,         # [1, 1, Hkv*D] VMEM block: the seq's new K row (cache
     #                 dtype) — merged into the streamed chunk and written
-    #                 back through an aligned sublane window
+    #                 back through an aligned sublane window. Token-plane
+    #                 INT4: int32 nibble values PRE-SHIFTED to 4*(slot%8).
     vr_ref,         # [1, 1, Hkv*D] VMEM block
     scol_ref,       # [1, RPP, ps] VMEM block: the seq's new-token scale
     #                 column broadcast across lanes (row r = scale for
@@ -295,6 +332,7 @@ def _decode_kernel(
     ppc: int,
     rpp: int,
     win: int,
+    prows: int,   # data rows per page: page_size, or page_size/8 for INT4
     hkv: int,
     g: int,
     d: int,
@@ -320,13 +358,14 @@ def _decode_kernel(
     ctx = ctx_ref[si]
     slot = slot_ref[si]
     chunk = ppc * page_size
+    chunk_rows = ppc * prows
     n_chunks = lax.div(ctx + chunk - 1, chunk)
     num_pages = num_slots // page_size
     ps = page_size
 
     chunk_copies = _mk_split_chunk_copies(
         data_ref, scales_ref, bt_ref, ppc, page_size, rpp, li,
-        num_pages, bt_ref.shape[1], kv_buf, s_buf, sems, quantized)
+        num_pages, bt_ref.shape[1], kv_buf, s_buf, sems, quantized, prows)
     s_total = ctx_ref.shape[0]
 
     # Cross-sequence pipelining, depth NBUF-1: chunks are consumed in one
@@ -375,26 +414,29 @@ def _decode_kernel(
         sel_v = selv_ref[0]
 
     # New-token merge bookkeeping: position ctx-1 lives in chunk ltc at
-    # in-chunk page pic, lane/sublane offset `off`; its physical page is
+    # in-chunk page pic, token offset `off` = data row `rib` within the
+    # page block (off // 8 for token-plane INT4); its physical page is
     # slot // ps. Pads (slot == num_slots) never merge.
     lpos = ctx - 1
     wvalid = (slot < num_slots) & (ctx > 0)
     ltc = jnp.where(wvalid, lax.div(lpos, chunk), -1)
     pic = lax.rem(lax.div(jnp.maximum(lpos, 0), ps), ppc)
     off = lax.rem(jnp.maximum(lpos, 0), ps)
+    rib = lax.div(off, TOKENS_PER_I32) if int4 else off
 
     def wb_copies():
         """The write-back set, in a fixed order (starts and waits must
         match 1:1 on the shared semaphore)."""
-        woff = lax.div(off, win)
-        kdst = ((li * num_pages + lax.div(slot, ps)) * (2 * ps // win)
+        woff = lax.div(rib, win)
+        kdst = ((li * num_pages + lax.div(slot, ps)) * (2 * prows // win)
                 + woff) * win
         cs = [pltpu.make_async_copy(
                   wb_kv.at[pl.ds(0, win)], data_ref.at[pl.ds(kdst, win)],
                   wbsem),
               pltpu.make_async_copy(
                   wb_kv.at[pl.ds(win, win)],
-                  data_ref.at[pl.ds(kdst + (ps // win) * win, win)], wbsem)]
+                  data_ref.at[pl.ds(kdst + (prows // win) * win, win)],
+                  wbsem)]
         if quantized:
             sdst = (li * num_pages + lax.div(slot, ps)) * rpp
             cs.append(pltpu.make_async_copy(
@@ -411,28 +453,38 @@ def _decode_kernel(
                 c.wait()
         # K/V rows into the aligned [win, LW] windows of the streamed
         # chunk copy (this step's attention reads the merged values). The
-        # chunk buffer is K/V-split: page pic's K rows at [pic*ps, +ps),
-        # its V rows at [chunk + pic*ps, +ps). LW = packed lane width
-        # (Hkv*D, or Hkv*D/2 for the nibble-packed INT4 cache — the merge
-        # operates on PACKED rows; unpacking happens only at compute).
-        lw = hkv * d // (2 if int4 else 1)
+        # chunk buffer is K/V-split: page pic's K rows at [pic*prows,
+        # +prows), its V rows at [chunk_rows + pic*prows, +prows). The
+        # merge operates on PACKED rows (token-plane INT4: clear nibble
+        # 4*(slot%8) of row rib, OR in the pre-shifted new nibbles);
+        # unpacking happens only at compute.
+        lw = hkv * d
         sub = lax.broadcasted_iota(jnp.int32, (win, lw), 0)
-        woff = lax.div(off, win)
-        kbase = (pic * (ps // win) + woff) * win
-        vbase = chunk + kbase
-        mrow = sub == off - woff * win
-        wk = jnp.where(mrow, jnp.broadcast_to(kr_ref[0], (win, lw)),
-                       kv_buf[slot_buf, pl.ds(kbase, win), :])
+        woff = lax.div(rib, win)
+        kbase = (pic * (prows // win) + woff) * win
+        vbase = chunk_rows + kbase
+        mrow = sub == rib - woff * win
+
+        def merged_window(old, new_row):
+            if int4:
+                keep = jnp.bitwise_not(jnp.left_shift(15, nibsh_ref[si]))
+                return jnp.where(
+                    mrow, jnp.bitwise_or(jnp.bitwise_and(old, keep),
+                                         jnp.broadcast_to(new_row,
+                                                          (win, lw))), old)
+            return jnp.where(mrow, jnp.broadcast_to(new_row, (win, lw)), old)
+
+        wk = merged_window(kv_buf[slot_buf, pl.ds(kbase, win), :], kr_ref[0])
         kv_buf[slot_buf, pl.ds(kbase, win), :] = wk
         wb_kv[pl.ds(0, win), :] = wk
-        wv = jnp.where(mrow, jnp.broadcast_to(vr_ref[0], (win, lw)),
-                       kv_buf[slot_buf, pl.ds(vbase, win), :])
+        wv = merged_window(kv_buf[slot_buf, pl.ds(vbase, win), :], vr_ref[0])
         kv_buf[slot_buf, pl.ds(vbase, win), :] = wv
         wb_kv[pl.ds(win, win), :] = wv
         if quantized:
             blk = s_buf[slot_buf, pl.ds(pic * rpp, rpp), :]    # [RPP, ps]
             lane = lax.broadcasted_iota(jnp.int32, (rpp, ps), 1)
-            merged = jnp.where(lane == off, scol_ref[0], blk)
+            slane = plane_lane(off, ps) if int4 else off
+            merged = jnp.where(lane == slane, scol_ref[0], blk)
             s_buf[slot_buf, pl.ds(pic * rpp, rpp), :] = merged
             wb_s[...] = merged
         for c in wb_copies():
@@ -460,8 +512,8 @@ def _decode_kernel(
         for i in range(ppc):
             @pl.when(ci * ppc + i >= n_need)
             def _():
-                kv_buf[slot_buf, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
-                    (ps, kv_buf.shape[2]), kv_buf.dtype)
+                kv_buf[slot_buf, pl.ds(chunk_rows + i * prows, prows), :] = \
+                    jnp.zeros((prows, kv_buf.shape[2]), kv_buf.dtype)
                 if quantized:
                     s_buf[slot_buf, pl.ds(i * rpp, rpp), :] = jnp.zeros(
                         (rpp, ps), s_buf.dtype)
@@ -469,8 +521,9 @@ def _decode_kernel(
         @pl.when(ci == ltc)
         def _():
             merge_new_token(slot_buf)
-        pos = ci * chunk + lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
-        mask = pos < ctx
+        w = lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
+        tok = _plane_pos(w, prows, ps) if int4 else w
+        mask = ci * chunk + tok < ctx
         carry = _decode_chunk_update(
             carry, q_bd, sel_k, sel_v, kv_buf[slot_buf],
             s_buf[slot_buf] if quantized else None, mask, scale, ppc,
@@ -512,22 +565,25 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            kv_bits: int = 8,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized
-    when the cache is int8) — the KERNEL writes them into the cache (merge
+    when the cache is int8; UNPACKED int8 nibble values in [-7, 7] for the
+    token-plane INT4 cache) — the KERNEL writes them into the cache (merge
     into the streamed chunk + aligned-window write-back); kv_scales:
     [S, 2*Hkv] new-token scale columns (K then V; see quantize_kv_rows) or
     a [S, 1] dummy when not quantized — merged the same way; data:
-    [L*2*num_slots, Hkv*D]; scales: bf16[(L*num_pages+1)*RPP, ps] |
-    f32[1, 1]; layer_i: i32 scalar; context_lens: i32[S]; block_tables:
-    i32[S, pages_per_seq]; slot_mapping: i32[S] (the new token's slot;
-    num_slots for pads/no-write). Returns (out [S, Hq, D], data, scales) —
-    cache arrays aliased in place."""
+    [L*2*num_slots, Hkv*D] (int32 [L*2*num_slots/8, Hkv*D] for INT4);
+    scales: bf16[(L*num_pages+1)*RPP, ps] | f32[1, 1]; layer_i: i32 scalar;
+    context_lens: i32[S]; block_tables: i32[S, pages_per_seq]; slot_mapping:
+    i32[S] (the new token's slot; num_slots for pads/no-write). Returns
+    (out [S, Hq, D], data, scales) — cache arrays aliased in place."""
     s, hq, d = q.shape
     int4 = kv_bits == 4
-    lwf = 2 if int4 else 1          # packed-lane shrink factor
-    hkv = k_rows.shape[1] * lwf // d
-    lw = hkv * d // lwf
+    assert not int4 or data.dtype == jnp.int32, (
+        "token-plane INT4 cache must be int32", data.dtype)
+    hkv = k_rows.shape[1] // d
+    lw = hkv * d
     g = hq // hkv
-    quantized = data.dtype == jnp.int8
+    quantized = data.dtype == jnp.int8 or int4
+    prows = page_size // TOKENS_PER_I32 if int4 else page_size
     rpp = scale_rows_per_page(hkv)
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
@@ -600,16 +656,33 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         sel_k = sel_v = jnp.zeros((1, 1, 1), SCALE_DTYPE)
         scol_spec = selk_spec = selv_spec = pl.BlockSpec(memory_space=pl.ANY)
 
+    # Token-plane INT4: ship the new rows as int32 nibble values pre-shifted
+    # to the slot's nibble position (the kernel ORs them into the cleared
+    # digit of the packed row); nibsh carries the per-seq shift for the
+    # clear mask via scalar prefetch.
+    if int4:
+        nibsh = (4 * (slot_mapping % TOKENS_PER_I32)).astype(jnp.int32)
+        sh = nibsh[:, None]
+        k_rows = jnp.left_shift(
+            jnp.bitwise_and(k_rows.astype(jnp.int32), 15), sh)
+        v_rows = jnp.left_shift(
+            jnp.bitwise_and(v_rows.astype(jnp.int32), 15), sh)
+    else:
+        nibsh = jnp.zeros((s,), jnp.int32)
+        k_rows = k_rows.astype(data.dtype)
+        v_rows = v_rows.astype(data.dtype)
+
     # Aligned write-back window: Mosaic DMA row slices must start at a
     # multiple of the dtype's sublane tile.
     win = {1: 32, 2: 16, 4: 8}[jnp.dtype(data.dtype).itemsize]
+    chunk_rows = ppc * prows
     nbuf = 4  # pipeline depth: see _decode_kernel's issue cursor
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
-        win=win, hkv=hkv, g=g, d=d, num_slots=num_slots, nbuf=nbuf,
-        quantized=quantized, int4=int4, dot_dtype=dot_dtype)
+        win=win, prows=prows, hkv=hkv, g=g, d=d, num_slots=num_slots,
+        nbuf=nbuf, quantized=quantized, int4=int4, dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
+        num_scalar_prefetch=5,
         grid=(s,),
         in_specs=[
             pl.BlockSpec((1, hq, hkv * d), lambda si, *_: (si, 0, 0)),
@@ -630,7 +703,7 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((nbuf, 2 * chunk, lw), data.dtype),
+            pltpu.VMEM((nbuf, 2 * chunk_rows, lw), data.dtype),
             pltpu.VMEM((nbuf, ppc * rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((2 * win, lw), data.dtype),
@@ -648,13 +721,13 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
             jax.ShapeDtypeStruct(scales.shape, scales.dtype),
         ],
         grid_spec=grid_spec,
-        # Operand numbering includes the 4 scalar-prefetch args: data is
-        # operand 8 -> output 1, scales operand 9 -> output 2.
-        input_output_aliases={8: 1, 9: 2},
+        # Operand numbering includes the 5 scalar-prefetch args: data is
+        # operand 9 -> output 1, scales operand 10 -> output 2.
+        input_output_aliases={9: 1, 10: 2},
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
-    )(layer_arr, context_lens, block_tables, slot_mapping,
+    )(layer_arr, context_lens, block_tables, slot_mapping, nibsh,
       q_bd, k_rows[:, None, :], v_rows[:, None, :], scol, data, scales,
       sel_k, sel_v)
     return out, data, scales
@@ -665,12 +738,16 @@ def _diag_heads(carry, q_heads, kr, vr, sc_ref, mask, tq, npw, rpp, ps, hkv,
     """Online-softmax update over the tile's OWN (diagonal) K/V block,
     sourced from the VMEM input blocks rather than the cache — the tile
     never reads its freshly-written pages back from HBM, so the write DMAs
-    need no wait before compute. kr/vr: [tq, Hkv*D] values (cache dtype);
-    sc_ref: the tile's [npw*RPP, ps] transposed scale blocks (or None);
-    mask: [rows, tq]. q_heads carry the softmax scale pre-folded."""
+    need no wait before compute. kr/vr: [tq, Hkv*D] values (cache dtype;
+    token-plane INT4: packed int32 [tq/8, Hkv*D], unpacked here per page in
+    plane-major order — the caller's mask uses the matching permuted
+    positions); sc_ref: the tile's [npw*RPP, ps] transposed scale blocks
+    (or None); mask: [rows, tq]. q_heads carry the softmax scale
+    pre-folded."""
     if int4:
-        kr = unpack_int4(kr, d, dot_dtype)
-        vr = unpack_int4(vr, d, dot_dtype)
+        prows = ps // TOKENS_PER_I32
+        kr = _unpack_pages(kr, npw, prows, dot_dtype)
+        vr = _unpack_pages(vr, npw, prows, dot_dtype)
     out = []
     for h in range(hkv):
         m, l, acc = carry[h]
@@ -784,9 +861,12 @@ def _prefill_kernel(
     # == 0 and pages hold ps tokens with tq % ps == 0 or ps % tq == 0, so
     # each covered page gets one contiguous run of wr rows at a
     # sublane-aligned offset. INT8 scale blocks are whole-page [RPP, ps]
-    # DMAs (quantized requires tq % ps == 0).
+    # DMAs (quantized requires tq % ps == 0, so token-plane INT4 writes are
+    # always whole [prows, Hkv*D] packed page blocks).
     wr = min(tq, ps)
     npw = max(1, tq // ps)
+    prows = ps // TOKENS_PER_I32
+    wrows = prows if int4 else wr  # data rows per write run
 
     def write_copies():
         cs = []
@@ -794,16 +874,22 @@ def _prefill_kernel(
             pos_i = pos0 + i * wr
             valid = is_real & (pos_i < ctx)
             page = bt_ref[si, lax.div(pos_i, ps)]
-            # Offset written as (…)*wr so Mosaic can prove sublane-tile
-            # alignment of the dynamic row start (pos0 % wr == 0 by the
-            # tiling contract, but that's invisible to the prover).
-            off = lax.rem(lax.div(pos_i, wr), ps // wr) * wr
-            base = (li * num_pages + page) * 2 * ps + off
-            src = pl.ds(i * wr, wr)
+            if int4:
+                base = (li * num_pages + page) * 2 * prows
+                voff = prows
+            else:
+                # Offset written as (…)*wr so Mosaic can prove sublane-tile
+                # alignment of the dynamic row start (pos0 % wr == 0 by the
+                # tiling contract, but that's invisible to the prover).
+                off = lax.rem(lax.div(pos_i, wr), ps // wr) * wr
+                base = (li * num_pages + page) * 2 * ps + off
+                voff = ps
+            src = pl.ds(i * wrows, wrows)
             cs.append((valid, pltpu.make_async_copy(
-                kr_ref.at[src], data_ref.at[pl.ds(base, wr)], wsem)))
+                kr_ref.at[src], data_ref.at[pl.ds(base, wrows)], wsem)))
             cs.append((valid, pltpu.make_async_copy(
-                vr_ref.at[src], data_ref.at[pl.ds(base + ps, wr)], wsem)))
+                vr_ref.at[src], data_ref.at[pl.ds(base + voff, wrows)],
+                wsem)))
             if quantized:
                 sbase = (li * num_pages + page) * rpp
                 cs.append((valid, pltpu.make_async_copy(
@@ -819,7 +905,9 @@ def _prefill_kernel(
     chunk_copies = _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc,
                                           page_size, rpp, li, num_pages,
                                           bt_ref.shape[1], kv_buf, s_buf,
-                                          sems, quantized)
+                                          sems, quantized,
+                                          prows if int4 else ps)
+    chunk_rows = ppc * (prows if int4 else ps)
     lim = jnp.where(is_real, pos0, 0)
 
     # Chunk 0 is prefetched by the previous grid step (after ITS write
@@ -847,7 +935,8 @@ def _prefill_kernel(
     # neutralize (all-masked softmax hits the p=1 degenerate case, but
     # their V block is input padding = zeros, so acc stays 0).
     q_pos_d = pos0 + lax.broadcasted_iota(jnp.int32, (rows, tq), 0) // g
-    kv_pos_d = pos0 + lax.broadcasted_iota(jnp.int32, (rows, tq), 1)
+    kvw = lax.broadcasted_iota(jnp.int32, (rows, tq), 1)
+    kv_pos_d = pos0 + (_plane_pos(kvw, prows, ps) if int4 else kvw)
     dmask = (kv_pos_d <= q_pos_d) & (kv_pos_d < ctx)
     carry = _diag_heads(init, q_heads, kr_ref[...], vr_ref[...],
                         sc_ref if quantized else None, dmask, tq, npw, rpp,
@@ -882,17 +971,19 @@ def _prefill_kernel(
             # so p=0 lanes never multiply NaN (see the decode kernel's
             # matching note).
             n_need = lax.div(lim + ps - 1, ps)
+            crows = prows if int4 else ps
             for i in range(ppc):
                 @pl.when(ci * ppc + i >= n_need)
                 def _():
-                    kv_buf[slot, pl.ds(chunk + i * ps, ps), :] = jnp.zeros(
-                        (ps, kv_buf.shape[2]), kv_buf.dtype)
+                    kv_buf[slot, pl.ds(chunk_rows + i * crows, crows), :] = \
+                        jnp.zeros((crows, kv_buf.shape[2]), kv_buf.dtype)
                     if quantized:
                         s_buf[slot, pl.ds(i * rpp, rpp), :] = jnp.zeros(
                             (rpp, ps), s_buf.dtype)
 
-            kv_pos = ci * chunk + lax.broadcasted_iota(
-                jnp.int32, (rows, chunk), 1)
+            kvw2 = lax.broadcasted_iota(jnp.int32, (rows, chunk), 1)
+            kv_pos = ci * chunk + (_plane_pos(kvw2, prows, ps) if int4
+                                   else kvw2)
             # kv >= pos0 is this tile's own freshly-written region: masked
             # out (the diagonal covered it); its pages are not streamed.
             mask = kv_pos < pos0
@@ -953,11 +1044,12 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
     tile_seq/tile_pos0: i32[T // q_tile]. Returns (out [T, Hq, D], data,
     scales) — cache arrays aliased in place."""
     t, hq, d = q.shape
-    quantized = data.dtype == jnp.int8
     int4 = kv_bits == 4
-    lwf = 2 if int4 else 1
-    hkv = data.shape[1] * lwf // d
-    lw = hkv * d // lwf
+    assert not int4 or data.dtype == jnp.int32, (
+        "token-plane INT4 cache must be int32", data.dtype)
+    quantized = data.dtype == jnp.int8 or int4
+    hkv = data.shape[1] // d
+    lw = hkv * d
     g = hq // hkv
     rpp = scale_rows_per_page(hkv)
     nt = t // q_tile
@@ -998,8 +1090,11 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec((q_tile, hq, d), lambda ti, *_: (ti, 0, 0)),
             # kr/vr are VMEM blocks: the diagonal compute source and the
             # write-through DMA source (one read of the new rows, not two).
-            pl.BlockSpec((q_tile, lw), lambda ti, *_: (ti, 0)),
-            pl.BlockSpec((q_tile, lw), lambda ti, *_: (ti, 0)),
+            # Token-plane INT4: packed int32 rows, 8 tokens each.
+            pl.BlockSpec((q_tile // TOKENS_PER_I32 if int4 else q_tile, lw),
+                         lambda ti, *_: (ti, 0)),
+            pl.BlockSpec((q_tile // TOKENS_PER_I32 if int4 else q_tile, lw),
+                         lambda ti, *_: (ti, 0)),
             sc_spec,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
@@ -1010,7 +1105,8 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 2 * chunk, lw), data.dtype),
+            pltpu.VMEM((2, 2 * (chunk // TOKENS_PER_I32 if int4 else chunk),
+                        lw), data.dtype),
             pltpu.VMEM((2, ppc * rpp, page_size), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
@@ -1051,10 +1147,9 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
     sequential per-row loop; the scale-lane update can't be expressed as a
     scatter at all)."""
     t, hkv, d = k.shape
-    quantized = cache["data"].dtype == jnp.int8
-    # Nibble-packed INT4 cache: the data array's lane width is half Hkv*D.
-    kv_bits = 4 if (quantized
-                    and cache["data"].shape[1] == hkv * d // 2) else 8
+    # Token-plane INT4 cache stores int32 packed rows (kv_cache.py).
+    kv_bits = data_kv_bits(cache["data"], hkv, d)
+    quantized = kv_bits in (4, 8)
     if is_prefill:
         if quantized:
             k_rows, v_rows, kv_scales = quantize_kv_blocks(

@@ -17,7 +17,7 @@ Mosaic cannot do cheaply) — and the matmul splits into two MXU dots:
     y = x[:, :K//2] @ lo + x[:, K//2:] @ hi
 
 Nibble arithmetic runs in int32 (Mosaic has no int8 vector shifts, same
-constraint as ops/kv_cache.unpack_int4). Per-output-channel scales multiply
+constraint as the old head-pair KV unpack). Per-output-channel scales multiply
 the fp32 accumulator (mathematically identical to scaling the weights).
 
 Grid: (n_tiles, t_tiles), t fastest — consecutive t steps keep the same

@@ -15,7 +15,8 @@ import pytest
 from nanovllm_tpu.ops.attention_pallas import (
     paged_decode_attention, ragged_prefill_attention)
 from nanovllm_tpu.ops.kv_cache import (
-    create_kv_cache, gather_pages, kv_rows, quantize_kv_rows, write_kv)
+    create_kv_cache, data_kv_bits, gather_pages, kv_rows, quantize_kv_rows,
+    write_kv)
 
 
 def make_cache(key, num_layers, hkv, num_pages, page_size, d):
@@ -30,10 +31,8 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
     """Mirror of pallas_attention's decode prep: build the new-row operands
     and invoke the kernel (interpret mode)."""
     t, hkv, d = k_new.shape
-    kv_bits = 8
-    if cache["data"].dtype == jnp.int8:
-        if cache["data"].shape[1] == hkv * d // 2:
-            kv_bits = 4
+    kv_bits = data_kv_bits(cache["data"], hkv, d)
+    if kv_bits:
         k_rows, v_rows, kv_scales = quantize_kv_rows(k_new, v_new, kv_bits)
     else:
         k_rows = k_new.reshape(t, hkv * d).astype(cache["data"].dtype)
@@ -43,7 +42,7 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
         q, k_rows, v_rows, kv_scales, cache["data"],
         cache["scales"], layer_i, context_lens, block_tables, slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=num_layers, int8_dots=int8_dots, kv_bits=kv_bits,
+        num_layers=num_layers, int8_dots=int8_dots, kv_bits=kv_bits or 8,
         interpret=True)
     return out, {"data": data, "scales": scales}
 
@@ -331,10 +330,10 @@ def test_int8_kv_quantized_decode_close_to_fp32():
 
 
 def test_int4_kv_quantized_decode_close_to_fp32():
-    """Nibble-packed INT4 KV (head-pair lanes, per-(token, head) scales):
-    decode output within int4 quantization noise of fp32; exercises the
-    packed stream read, in-kernel packed row write, and the XLA write path
-    (write_kv packs via the data width)."""
+    """Token-plane INT4 KV (int32 rows of 8 tokens, per-(token, head)
+    scales): decode output within int4 quantization noise of fp32; exercises
+    the packed stream read, in-kernel nibble merge write, and the XLA
+    delta-scatter write path."""
     s_, hq, hkv, d, page_size, pps = 3, 4, 2, 128, 128, 2
     num_pages = s_ * pps + 1
     num_slots = num_pages * page_size
@@ -351,7 +350,8 @@ def test_int4_kv_quantized_decode_close_to_fp32():
         "int4": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.int8,
                                 kv_bits=4),
     }
-    assert caches["int4"]["data"].shape[1] == hkv * d // 2
+    assert caches["int4"]["data"].dtype == jnp.int32
+    assert caches["int4"]["data"].shape == (2 * num_slots // 8, hkv * d)
     k_prefix = jax.random.normal(kk, (s_ * ctx_len, hkv, d), jnp.float32)
     v_prefix = jax.random.normal(kv_, (s_ * ctx_len, hkv, d), jnp.float32)
     pos = np.arange(ctx_len)
