@@ -72,7 +72,8 @@ def main():
     # model; full-size checkpoints are gated by tools/eval_ppl.py. So the
     # random-weight throughput path defaults to int4, but a REAL --model
     # checkpoint defaults to unquantized (pass --quant/--kv-cache-dtype
-    # explicitly to benchmark a quantized real model).
+    # explicitly to benchmark a quantized real model). Both int4 forms run
+    # under tensor parallelism (shard_mapped Pallas kernels).
     p.add_argument("--kv-cache-dtype", default=None,
                    choices=["auto", "bfloat16", "int8", "int4"])
     p.add_argument("--quant", default=None, choices=["none", "int8", "int4"])
@@ -94,6 +95,8 @@ def main():
     # chunk width of the ragged Pallas prefill kernel.
     p.add_argument("--q-tile", type=int, default=None)
     p.add_argument("--pages-per-chunk", type=int, default=None)
+    p.add_argument("--int4-concat", action="store_true",
+                   help="INT4 decode concat chunk form (A/B vs per-plane)")
     # Scaling-efficiency mode (north-star: >=85% tok/s efficiency 1 chip ->
     # 1 host -> >=2 hosts): --tp N shards the model over N local chips;
     # --distributed joins a pod slice first (jax.distributed.initialize) so
@@ -107,14 +110,6 @@ def main():
     if args.kv_cache_dtype is None:
         args.kv_cache_dtype = "auto" if args.model else "int4"
     max_model_len = args.max_model_len or (args.input_len + args.output_len)
-    if args.tp > 1:
-        # Packed-int4 forms are tp=1-only (see --kv-cache-dtype help).
-        if args.quant == "int4":
-            print("note: --tp > 1 downgrades quant int4 -> int8", flush=True)
-            args.quant = "int8"
-        if args.kv_cache_dtype == "int4":
-            print("note: --tp > 1 downgrades kv int4 -> int8", flush=True)
-            args.kv_cache_dtype = "int8"
     extra = {}
     if args.hbm_utilization is not None:
         extra["hbm_utilization"] = args.hbm_utilization
@@ -124,6 +119,8 @@ def main():
         extra["prefill_pages_per_chunk"] = args.pages_per_chunk
     if args.num_pages is not None:
         extra["num_kvcache_blocks"] = args.num_pages
+    if args.int4_concat:
+        extra["int4_planes_dots"] = False
     print(f"bench config: model={args.model or f'random-{args.model_size}'} "
           f"backend={args.attn_backend} quant={args.quant} "
           f"kv_cache_dtype={args.kv_cache_dtype} "

@@ -48,7 +48,7 @@ def timeit_chained(fn, q, *args, iters=20, **kw):
 
 def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
                  dtype=jnp.bfloat16, page_order="rand", int8_dots=False,
-                 ppc=0, spare_pages=0, kv_bits=8):
+                 ppc=0, spare_pages=0, kv_bits=8, planes_dots=True):
     pps = -(-ctx // page_size)
     num_pages = bs * pps + 1 + spare_pages
     num_slots = num_pages * page_size
@@ -104,7 +104,8 @@ def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
             data, scales, 0, ctxs, tables, step_slots,
             scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
             num_layers=1, int8_dots=int8_dots, pages_per_chunk=ppc,
-            kv_bits=kv_bits, interpret=interp)
+            kv_bits=kv_bits, planes_dots=planes_dots,
+            interpret=interp)
         return o, data, scales
 
     data, scales = cache["data"], cache["scales"]
@@ -237,6 +238,9 @@ def main():
                    choices=["rand", "seq", "rr"])
     p.add_argument("--int8-dots", action="store_true")
     p.add_argument("--ppc", type=int, default=0)
+    p.add_argument("--int4-concat", action="store_true",
+                   help="INT4 concat-then-one-dot chunk form (A/B vs the "
+                        "default per-plane dots)")
     p.add_argument("--spare-pages", type=int, default=0,
                    help="extra never-read pages: detects per-iteration cache "
                         "copies in the timing harness (time must not grow)")
@@ -267,7 +271,8 @@ def main():
                                         int8_dots=args.int8_dots,
                                         ppc=args.ppc,
                                         spare_pages=args.spare_pages,
-                                        kv_bits=kv_bits)
+                                        kv_bits=kv_bits,
+                                        planes_dots=not args.int4_concat)
                 print(f"page={page:<4d} bs={bs:<4d} ctx={ctx:<6d} "
                       f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s KV-read",
                       flush=True)

@@ -140,6 +140,10 @@ class Config:
     # TPU answer to the reference's CUDA-graph replay (model_runner.py:278-303)
     # plus multi-step scheduling. 1 = step-per-dispatch.
     decode_steps: int = 32
+    # INT4 KV decode chunk-compute form: per-plane dots (True) vs
+    # concat-then-one-dot (False). A/B knob; see attention_pallas.py
+    # _decode_chunk_planes.
+    int4_planes_dots: bool = True
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8 | int4
     quant: str = "none"            # none | int8 | int4 (weight-only)

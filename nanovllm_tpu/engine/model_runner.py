@@ -125,16 +125,14 @@ class ModelRunner:
                 host_params = load_params(cfg.model, mc, self.dtype)
             if cfg.quant != "none":
                 from nanovllm_tpu.ops.quant import quantize_params
-                # INT4 uses the nibble-packed Pallas matmul under tp=1; with
-                # tensor parallelism the matmuls are GSPMD-partitioned (a
-                # Pallas call would need its own shard_map), so keep
-                # jnp.int4 leaves there (CPU-correct; the TPU runtime can't
-                # pass S4 jit args — ops/qmm_pallas.py — so int4+tp>1 is
-                # CPU/test-only for now).
+                # INT4 always packs for the Pallas dequant matmul; under
+                # tensor parallelism qmm shard_maps the kernel per weight
+                # shard, with the row-parallel weights (o/down) packed per
+                # input shard (ops/quant._qmm_int4_tp).
                 host_params = quantize_params(
                     host_params, 8 if cfg.quant == "int8" else 4,
-                    pack=None if cfg.tensor_parallel_size == 1 else False,
-                    quant_embed=cfg.quant_embed)
+                    quant_embed=cfg.quant_embed,
+                    tp=cfg.tensor_parallel_size)
             jax.block_until_ready(host_params)
         shardings = param_shardings(self.mesh, host_params)
         # device_put directly on the host arrays: a jnp.asarray here would
@@ -283,6 +281,7 @@ class ModelRunner:
                 num_layers=mc.num_hidden_layers,
                 q_tile=self.config.prefill_q_tile,
                 pages_per_chunk=self.config.prefill_pages_per_chunk,
+                planes_dots=self.config.int4_planes_dots,
                 interpret=self.mesh.devices.flat[0].platform == "cpu")
             if self.config.tensor_parallel_size == 1:
                 return fn
@@ -320,6 +319,11 @@ class ModelRunner:
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
+        # Re-point the trace-time tp-mesh registry at THIS runner's mesh
+        # before tracing (quantized matmuls shard_map over it; another
+        # runner in the same process may have moved it).
+        from nanovllm_tpu.parallel.mesh import set_current_tp_mesh
+        set_current_tp_mesh(self.mesh)
         is_prefill, t, s, qmax, pk, n_steps, filt = key
         # Sampling filters (top-k / top-p) compile in only when a scheduled
         # request uses them — the default program stays sort-free.

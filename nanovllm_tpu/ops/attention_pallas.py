@@ -158,6 +158,9 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     chunk = ppc * ps
     int8_dots = q_bd.dtype == jnp.int8
     if int4:
+        # Concat-form INT4 fallback (planes_dots=False): materialize the
+        # unpacked chunk in page-major plane order, then the one-dot path
+        # below; the caller's mask uses the matching permuted positions.
         prows = ps // TOKENS_PER_I32
         chunk_rows = ppc * prows
         kv_dt = jnp.int8 if int8_dots else dot_dtype
@@ -213,6 +216,67 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
         o = lax.dot_general(
             p.astype(dot_dtype), v_chunk.astype(dot_dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    return (m_next, l_next, acc * alpha + o)
+
+
+def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
+                         scale, ppc, ps, rpp, d, dot_dtype):
+    """Token-plane INT4 variant of _decode_chunk_update: every dot consumes
+    an extracted plane DIRECTLY, so the unpacked [chunk, Hkv*D] bf16 array
+    is never materialized (the concat-then-one-dot form spent more VPU time
+    copying than the halved HBM traffic saved — measured 444 us vs int8's
+    265 us at bs=64/ctx=1536; dropping the concat keeps only the 2-shift
+    plane extract + convert, and MXU pass count is unchanged at the default
+    1024-token chunk: 8 plane dots of [.., chunk/8] ≡ 1 dot of [.., chunk]).
+
+    Scores build in CHUNK-PLANE-MAJOR order (piece r = tokens ≡ r mod 8
+    across the whole chunk, lanes [r*chunk/8, ...)); the per-page selector
+    outputs are re-sliced into that order ([2Hq, prows] sub-lane slices —
+    tiny, [32, 16] each). rem = ctx - chunk_base: piece r's mask is just
+    8*j + r < rem, a [1, chunk/8] iota compare. `quantized` is implied
+    (int4 always carries scale blocks); int8_dots is not supported here
+    (measured no win on v5e even for int8)."""
+    m, l, acc = carry
+    chunk = ppc * ps
+    prows = ps // TOKENS_PER_I32
+    chunk_rows = ppc * prows
+    hq = sel_k.shape[0]
+    k_packed = kv_slot[:chunk_rows]
+    v_packed = kv_slot[chunk_rows:2 * chunk_rows]
+    sel_kv = jnp.concatenate([sel_k, sel_v], axis=0)
+    skv_pages = [lax.dot_general(
+        sel_kv, s_slot[i * rpp:(i + 1) * rpp],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32) for i in range(ppc)]  # [2Hq, ps]
+    jiota = lax.broadcasted_iota(jnp.int32, (1, chunk_rows), 1)
+    s_pieces, vs_pieces = [], []
+    for r in range(TOKENS_PER_I32):
+        kp = int4_plane(k_packed, r, dot_dtype)          # [chunk/8, W]
+        sr = lax.dot_general(
+            q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # [Hq, chunk/8]
+        skv_r = (skv_pages[0][:, r * prows:(r + 1) * prows] if ppc == 1
+                 else jnp.concatenate(
+                     [sp[:, r * prows:(r + 1) * prows] for sp in skv_pages],
+                     axis=1))                            # [2Hq, chunk/8]
+        sr = sr * skv_r[:hq]
+        sr = jnp.where(TOKENS_PER_I32 * jiota + r < rem, sr, MASK_VALUE)
+        s_pieces.append(sr)
+        vs_pieces.append(skv_r[hq:])
+    s = jnp.concatenate(s_pieces, axis=1)                # [Hq, chunk]
+    m_curr = jnp.max(s, axis=-1, keepdims=True)
+    m_next = jnp.maximum(m, m_curr)
+    alpha = jnp.exp(m - m_next)
+    p = jnp.exp(s - m_next)
+    l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
+    o = jnp.zeros_like(acc)
+    for r in range(TOKENS_PER_I32):
+        vp = int4_plane(v_packed, r, dot_dtype)
+        pr = (p[:, r * chunk_rows:(r + 1) * chunk_rows]
+              * vs_pieces[r]).astype(dot_dtype)
+        o = o + lax.dot_general(
+            pr, vp, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
     return (m_next, l_next, acc * alpha + o)
 
@@ -340,6 +404,7 @@ def _decode_kernel(
     nbuf: int,
     quantized: bool,
     int4: bool,
+    planes_dots: bool,
     dot_dtype,
 ):
     """The kernel owns ALL KV writes for the step (XLA's row scatter lowers
@@ -521,13 +586,18 @@ def _decode_kernel(
         @pl.when(ci == ltc)
         def _():
             merge_new_token(slot_buf)
-        w = lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
-        tok = _plane_pos(w, prows, ps) if int4 else w
-        mask = ci * chunk + tok < ctx
-        carry = _decode_chunk_update(
-            carry, q_bd, sel_k, sel_v, kv_buf[slot_buf],
-            s_buf[slot_buf] if quantized else None, mask, scale, ppc,
-            page_size, rpp, d, quantized, int4, dot_dtype)
+        if int4 and planes_dots:
+            carry = _decode_chunk_planes(
+                carry, q_bd, sel_k, sel_v, kv_buf[slot_buf], s_buf[slot_buf],
+                ctx - ci * chunk, scale, ppc, page_size, rpp, d, dot_dtype)
+        else:
+            w = lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
+            tok = _plane_pos(w, prows, ps) if int4 else w
+            carry = _decode_chunk_update(
+                carry, q_bd, sel_k, sel_v, kv_buf[slot_buf],
+                s_buf[slot_buf] if quantized else None,
+                ci * chunk + tok < ctx, scale, ppc, page_size, rpp, d,
+                quantized, int4, dot_dtype)
         gctr[0] = gi + 1
         return carry
 
@@ -551,7 +621,8 @@ def _decode_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("scale", "page_size", "num_slots", "num_layers",
-                     "pages_per_chunk", "int8_dots", "kv_bits", "interpret"))
+                     "pages_per_chunk", "int8_dots", "kv_bits", "planes_dots",
+                     "interpret"))
 def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            scales, layer_i, context_lens, block_tables,
                            slot_mapping, *, scale: float, page_size: int,
@@ -563,6 +634,10 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
                            # wins by default; kept for other TPU generations.
                            int8_dots: bool = False,
                            kv_bits: int = 8,
+                           # INT4 chunk compute form: per-plane dots (no
+                           # unpacked-chunk materialization) vs concat-then-
+                           # one-dot. See _decode_chunk_planes.
+                           planes_dots: bool = True,
                            interpret: bool = False):
     """q: [S, Hq, D]; k_rows/v_rows: [S, Hkv*D] new rows (int8-quantized
     when the cache is int8; UNPACKED int8 nibble values in [-7, 7] for the
@@ -608,7 +683,9 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
                                  and data.dtype == jnp.float32)
                  else jnp.bfloat16)
-    int8_dots = int8_dots and quantized
+    # int8 MXU dots are not wired into the per-plane INT4 path (measured no
+    # win on v5e even for the int8 cache).
+    int8_dots = int8_dots and quantized and not int4
 
     # Prebuild the block-diagonal Q (and scale selectors) in XLA: one fused
     # elementwise kernel over the whole batch, instead of ~5 us of iota/
@@ -680,7 +757,8 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     kernel = functools.partial(
         _decode_kernel, scale=scale, page_size=page_size, ppc=ppc, rpp=rpp,
         win=win, prows=prows, hkv=hkv, g=g, d=d, num_slots=num_slots,
-        nbuf=nbuf, quantized=quantized, int4=int4, dot_dtype=dot_dtype)
+        nbuf=nbuf, quantized=quantized, int4=int4, planes_dots=planes_dots,
+        dot_dtype=dot_dtype)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=5,
         grid=(s,),
@@ -1139,7 +1217,7 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
                      num_layers, q_tile=128, pages_per_chunk=0,
-                     interpret: bool = False):
+                     planes_dots: bool = True, interpret: bool = False):
     """Backend entry. Both kernels own their KV writes: prefill
     writes-through rows and scale blocks per tile; decode merges the new
     token's rows and scale lane into the streamed chunk and writes back
@@ -1176,5 +1254,6 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
         q, k_rows, v_rows, kv_scales, cache["data"], cache["scales"],
         layer_i, meta.context_lens, meta.block_tables, meta.slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=num_layers, kv_bits=kv_bits, interpret=interpret)
+        num_layers=num_layers, kv_bits=kv_bits, planes_dots=planes_dots,
+        interpret=interpret)
     return out, {"data": data, "scales": scales}

@@ -25,3 +25,20 @@ def make_mesh(tensor_parallel_size: int, devices=None) -> Mesh:
 
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
+
+
+# Trace-time tensor-parallel mesh registry: Pallas calls are opaque to
+# GSPMD, so quantized matmuls (ops/quant.qmm) shard_map themselves over the
+# current tp mesh. ModelRunner sets this at construction AND right before
+# every step-fn trace (multi-runner processes — tests — re-point it).
+_CURRENT_TP_MESH: Mesh | None = None
+
+
+def set_current_tp_mesh(mesh: Mesh | None) -> None:
+    global _CURRENT_TP_MESH
+    tp = mesh.shape.get("tp", 1) if mesh is not None else 1
+    _CURRENT_TP_MESH = mesh if tp > 1 else None
+
+
+def current_tp_mesh() -> Mesh | None:
+    return _CURRENT_TP_MESH

@@ -80,3 +80,19 @@ def test_tp_quant_embed_matches_single():
     outs = make_llm(2, **kw).generate(PROMPTS, SP, use_tqdm=False)
     for o, ref in zip(outs, base):
         assert o["token_ids"] == ref
+
+
+def test_tp_int4_weights_and_kv_pallas_matches_single():
+    """INT4 weights (shard_mapped Pallas plane matmuls, per-shard packing
+    for the row-parallel o/down — ops/quant._qmm_int4_tp) + token-plane
+    INT4 KV under tensor parallelism: tp=2 greedy tokens must equal tp=1
+    bit-for-bit (same quantization, sharding-invariant math)."""
+    assert len(jax.devices()) >= 2
+    kw = dict(attn_backend="pallas", quant="int4", kv_cache_dtype="int4",
+              kvcache_block_size=128, prefill_q_tile=128,
+              max_model_len=256, num_kvcache_blocks=8)
+    base = [o["token_ids"] for o in
+            make_llm(1, **kw).generate(PROMPTS, SP, use_tqdm=False)]
+    outs = make_llm(2, **kw).generate(PROMPTS, SP, use_tqdm=False)
+    for o, ref in zip(outs, base):
+        assert o["token_ids"] == ref
