@@ -95,8 +95,11 @@ def main():
     # chunk width of the ragged Pallas prefill kernel.
     p.add_argument("--q-tile", type=int, default=None)
     p.add_argument("--pages-per-chunk", type=int, default=None)
+    p.add_argument("--decode-pages-per-chunk", type=int, default=None)
     p.add_argument("--int4-concat", action="store_true",
                    help="INT4 decode concat chunk form (A/B vs per-plane)")
+    p.add_argument("--no-fused-sampler", action="store_true",
+                   help="materialize full logits + separate sampler (A/B)")
     # Scaling-efficiency mode (north-star: >=85% tok/s efficiency 1 chip ->
     # 1 host -> >=2 hosts): --tp N shards the model over N local chips;
     # --distributed joins a pod slice first (jax.distributed.initialize) so
@@ -117,10 +120,14 @@ def main():
         extra["prefill_q_tile"] = args.q_tile
     if args.pages_per_chunk is not None:
         extra["prefill_pages_per_chunk"] = args.pages_per_chunk
+    if args.decode_pages_per_chunk is not None:
+        extra["decode_pages_per_chunk"] = args.decode_pages_per_chunk
     if args.num_pages is not None:
         extra["num_kvcache_blocks"] = args.num_pages
     if args.int4_concat:
         extra["int4_planes_dots"] = False
+    if args.no_fused_sampler:
+        extra["fused_sampler"] = False
     print(f"bench config: model={args.model or f'random-{args.model_size}'} "
           f"backend={args.attn_backend} quant={args.quant} "
           f"kv_cache_dtype={args.kv_cache_dtype} "

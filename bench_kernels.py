@@ -228,6 +228,8 @@ def bench_qmm(t, k, n, mode):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--decode-bs", nargs="+", type=int, default=[16, 64, 256])
+    p.add_argument("--hq", type=int, default=16)
+    p.add_argument("--hkv", type=int, default=8)
     p.add_argument("--decode-ctx", nargs="+", type=int, default=[512, 2048])
     p.add_argument("--prefill-len", nargs="+", type=int,
                    default=[512, 2048, 8192])
@@ -265,7 +267,8 @@ def main():
     for page in args.page_size:
         for bs in args.decode_bs:
             for ctx in args.decode_ctx:
-                dt, gbps = bench_decode(bs, ctx, page_size=page,
+                dt, gbps = bench_decode(bs, ctx, hq=args.hq,
+                                        hkv=args.hkv, page_size=page,
                                         dtype=kv_dtype,
                                         page_order=args.page_order,
                                         int8_dots=args.int8_dots,
@@ -280,7 +283,7 @@ def main():
         return
     print("\n== ragged prefill kernel (1 seq) ==")
     for t in args.prefill_len:
-        dt, tflops = bench_prefill(t)
+        dt, tflops = bench_prefill(t, hq=args.hq, hkv=args.hkv)
         print(f"T={t:<6d} {dt*1e3:9.2f} ms  {tflops:6.2f} TFLOP/s attention")
 
 

@@ -132,9 +132,11 @@ class Config:
     # q-tile belongs to exactly one sequence.
     prefill_q_tile: int = 128
     # KV pages streamed per prefix chunk in the prefill kernel (0 = the
-    # kernel's default, 512 tokens' worth). Larger chunks amortize per-chunk
-    # fixed costs against more VMEM.
+    # kernel's default, 1024 tokens' worth). Larger chunks amortize
+    # per-chunk fixed costs against more VMEM.
     prefill_pages_per_chunk: int = 0
+    # Same for the decode kernel's KV chunks (0 = kernel default).
+    decode_pages_per_chunk: int = 0
     # Decode steps fused into one on-device dispatch (lax.scan over forward +
     # sample + metadata advance). Amortizes host->TPU dispatch latency; the
     # TPU answer to the reference's CUDA-graph replay (model_runner.py:278-303)
@@ -144,6 +146,10 @@ class Config:
     # concat-then-one-dot (False). A/B knob; see attention_pallas.py
     # _decode_chunk_planes.
     int4_planes_dots: bool = True
+    # Fuse the LM head with sampling over vocab tiles so [S, V] fp32 logits
+    # never materialize (ops/sampler.fused_sample); requests using top-k /
+    # top-p fall back to the full-logits sort path regardless.
+    fused_sampler: bool = True
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8 | int4
     quant: str = "none"            # none | int8 | int4 (weight-only)

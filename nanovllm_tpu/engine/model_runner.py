@@ -281,6 +281,7 @@ class ModelRunner:
                 num_layers=mc.num_hidden_layers,
                 q_tile=self.config.prefill_q_tile,
                 pages_per_chunk=self.config.prefill_pages_per_chunk,
+                decode_pages_per_chunk=self.config.decode_pages_per_chunk,
                 planes_dots=self.config.int4_planes_dots,
                 interpret=self.mesh.devices.flat[0].platform == "cpu")
             if self.config.tensor_parallel_size == 1:
@@ -326,7 +327,12 @@ class ModelRunner:
         set_current_tp_mesh(self.mesh)
         is_prefill, t, s, qmax, pk, n_steps, filt = key
         # Sampling filters (top-k / top-p) compile in only when a scheduled
-        # request uses them — the default program stays sort-free.
+        # request uses them — the default program stays sort-free. Without
+        # filters the LM head and the sampler fuse over vocab tiles
+        # (ops/sampler.fused_sample): the [S, V] fp32 logits round-trip
+        # (37 MiB/step at 64 x 151936) never touches HBM.
+        fused = self.config.fused_sampler and not filt
+        from nanovllm_tpu.ops.sampler import fused_sample
         sample_args = (lambda m: (m.top_ks, m.top_ps)) if filt else \
             (lambda m: (None, None))
         mc = self.mc
@@ -334,12 +340,20 @@ class ModelRunner:
         page_size = self.config.kvcache_block_size
         num_slots = self.num_slots
 
+        def fwd_sample(params, kv_cache, meta, rng):
+            if fused:
+                last, kv_cache = qwen3.forward_hidden(params, mc, kv_cache,
+                                                      meta, attn_fn)
+                return kv_cache, fused_sample(last, params["lm_head"],
+                                              meta.temperatures, rng)
+            logits, kv_cache = qwen3.forward(params, mc, kv_cache, meta,
+                                             attn_fn)
+            return kv_cache, sample(logits, meta.temperatures, rng,
+                                    *sample_args(meta))
+
         if is_prefill:
             def step(params, kv_cache, meta: BatchMeta, rng):
-                logits, kv_cache = qwen3.forward(params, mc, kv_cache, meta,
-                                                 attn_fn)
-                tokens = sample(logits, meta.temperatures, rng,
-                                *sample_args(meta))
+                kv_cache, tokens = fwd_sample(params, kv_cache, meta, rng)
                 return kv_cache, tokens[None, :]
         else:
             # Fused multi-step decode: K forward+sample steps per dispatch,
@@ -354,11 +368,8 @@ class ModelRunner:
 
                 def body(carry, _):
                     cache, m, key = carry
-                    logits, cache = qwen3.forward(params, mc, cache, m,
-                                                  attn_fn)
                     key, sub = jax.random.split(key)
-                    tokens = sample(logits, m.temperatures, sub,
-                                    *sample_args(m))
+                    cache, tokens = fwd_sample(params, cache, m, sub)
                     positions = jnp.where(valid, m.positions + 1, 0)
                     ctx = jnp.where(valid, m.context_lens + 1, 0)
                     slot = (m.block_tables[seq_ar, positions // page_size]
@@ -449,6 +460,11 @@ class ModelRunner:
         Pad batches are inert: every token's slot is num_slots (scatter
         drops it) and every context length is 0 (kernels read nothing).
 
+        Buckets COMPILE CONCURRENTLY (XLA compiles are thread-parallel;
+        lowering reads only avals, so the shared params/cache are safe) and
+        the compiled executables are installed as the step fns — then each
+        runs one serial pad step to absorb first-execution stalls.
+
         decode_bs: iterable of decode batch sizes.
         prefill: iterable of (total_tokens, num_seqs) pairs.
         """
@@ -456,12 +472,13 @@ class ModelRunner:
         steps = num_steps or cfg.decode_steps
         pk = cfg.pages_per_seq
         t0 = time.perf_counter()
+        jobs: list[tuple[tuple, dict]] = []
         for bs in decode_bs:
             s = min(next_bucket(bs, DECODE_BUCKETS),
                     next_pow2(cfg.max_num_seqs))
             raw = build_decode_meta([], s, cfg.kvcache_block_size, pk,
                                     self.num_slots)
-            self._run_pad_step((False, s, s, 1, pk, steps, False), raw)
+            jobs.append(((False, s, s, 1, pk, steps, False), raw))
         for tokens, nseqs in prefill:
             tq = cfg.prefill_q_tile
             t = next_pow2(tokens, max(128, tq))
@@ -470,11 +487,39 @@ class ModelRunner:
                 cfg.attn_backend == "ref" else t
             raw = build_prefill_meta([], t, s, cfg.kvcache_block_size, pk,
                                      self.num_slots, q_tile=tq)
-            self._run_pad_step((True, t, s, qmax, pk, 1, False), raw)
-        if decode_bs or prefill:
-            logger.info("warmup compiled %d decode + %d prefill buckets "
-                        "in %.1fs", len(tuple(decode_bs)),
-                        len(tuple(prefill)), time.perf_counter() - t0)
+            jobs.append(((True, t, s, qmax, pk, 1, False), raw))
+        if not jobs:
+            return
+        if len(jobs) > 1:
+            try:
+                self._compile_parallel(jobs)
+            except Exception as e:  # pragma: no cover - AOT quirks
+                logger.warning("parallel warmup compile failed (%s); "
+                               "falling back to serial", e)
+        for key, raw in jobs:
+            self._run_pad_step(key, raw)
+        logger.info("warmup compiled %d decode + %d prefill buckets "
+                    "in %.1fs", len(tuple(decode_bs)),
+                    len(tuple(prefill)), time.perf_counter() - t0)
+
+    def _compile_parallel(self, jobs):
+        """Lower+compile each bucket in a thread pool and install the AOT
+        executables as the step fns (a later plain jit call would compile
+        AGAIN — lower().compile() does not populate the jit call cache)."""
+        from concurrent.futures import ThreadPoolExecutor
+        metas = [jax.device_put(BatchMeta(**raw), self._rep)
+                 for _, raw in jobs]
+        fns = [self._get_step_fn(key) for key, _ in jobs]
+        _, sub = jax.random.split(self.rng_key)
+
+        def compile_one(i):
+            return fns[i].lower(self.params, self.kv_cache, metas[i],
+                                sub).compile()
+
+        with ThreadPoolExecutor(max_workers=min(8, len(jobs))) as ex:
+            compiled = list(ex.map(compile_one, range(len(jobs))))
+        for (key, _), ex_ in zip(jobs, compiled):
+            self._step_fns[key] = ex_
 
     def _run_pad_step(self, key, raw):
         meta = jax.device_put(BatchMeta(**raw), self._rep)

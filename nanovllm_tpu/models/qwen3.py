@@ -81,8 +81,11 @@ def _layer(x, residual, lp, cache, layer_i, meta, cfg: ModelConfig, attn_fn,
     return h, residual, cache
 
 
-def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
-    """Returns (last_token_logits [S, V] fp32, updated kv_cache).
+def forward_hidden(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
+    """Returns (last-token hidden states [S, H], updated kv_cache) — the
+    decoder stack without the LM head, so the runner can fuse head+sampling
+    over vocab tiles (ops/sampler.fused_sample) instead of materializing
+    [S, V] fp32 logits.
 
     kv_cache: [L, 2, Hkv, num_slots, D], threaded whole through the layer
     scan carry; every update is a scatter at (layer, slots) that XLA performs
@@ -109,7 +112,16 @@ def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
 
     x = rms_norm(x + residual, params["final_ln"], cfg.rms_norm_eps)
     # Only last-token rows feed the LM head (reference embed_head.py:62-65).
-    last = x[meta.last_token_idx]  # [S, H]
-    # bf16 matmul with fp32 accumulation on the MXU — no fp32 weight copy.
-    logits = qmm(last, params["lm_head"], preferred=jnp.float32)
-    return logits, kv_cache
+    return x[meta.last_token_idx], kv_cache  # [S, H]
+
+
+def compute_logits(params, last):
+    """LM head on last-token hidden rows (reference embed_head.py:66-71).
+    bf16 matmul with fp32 accumulation on the MXU — no fp32 weight copy."""
+    return qmm(last, params["lm_head"], preferred=jnp.float32)
+
+
+def forward(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
+    """Returns (last_token_logits [S, V] fp32, updated kv_cache)."""
+    last, kv_cache = forward_hidden(params, cfg, kv_cache, meta, attn_fn)
+    return compute_logits(params, last), kv_cache

@@ -669,10 +669,11 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         # session noise (identical programs measured 5310-5593 tok/s hours
         # apart), and 1536-token chunks regress the mixed-ctx engine run.
         # Page copies past ceil(ctx/ps) are predicated off, so big chunks
-        # cost no masked-read DMA waste. hq>16 shapes (Qwen3-4B/8B) blow
-        # the Mosaic VMEM budget at 1024 ("Ran out of memory in memory
-        # space vmem" at compile) — they keep 512.
-        pages_per_chunk = max(1, (1024 if hq <= 16 else 512) // page_size)
+        # cost no masked-read DMA waste. hq>16 shapes (Qwen3-4B/8B) used to
+        # be gated to 512 by Mosaic's default 16 MiB scoped-vmem budget;
+        # the explicit vmem_limit_bytes below lifts that (and the
+        # token-plane INT4 buffers are half the int8 size anyway).
+        pages_per_chunk = max(1, 1024 // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     ps = page_size
@@ -802,8 +803,12 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         # Operand numbering includes the 5 scalar-prefetch args: data is
         # operand 9 -> output 1, scales operand 10 -> output 2.
         input_output_aliases={9: 1, 10: 2},
+        # Mosaic's default 16 MiB scoped-vmem cap rejected hq>16 shapes at
+        # 1024-token chunks; v5e carries far more VMEM (the prefill kernel
+        # has shipped with a raised cap since round 2).
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("arbitrary",),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(layer_arr, context_lens, block_tables, slot_mapping, nibsh,
       q_bd, k_rows[:, None, :], v_rows[:, None, :], scol, data, scales,
@@ -1142,8 +1147,8 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         # headline run vs 512 — wider chunks amortize per-chunk fixed costs;
         # ~2 MiB int8 KV per buffer at Hkv*D=1024, well under the VMEM
         # limit). Page copies past pos0 are predicated off. hq>16 shapes
-        # keep 512 (Mosaic VMEM-OOMs at compile on the 4B/8B shapes).
-        pages_per_chunk = max(1, (1024 if hq <= 16 else 512) // page_size)
+        # (4B/8B) needed the vmem cap raised 32 -> 64 MiB to compile here.
+        pages_per_chunk = max(1, 1024 // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
@@ -1204,10 +1209,11 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         input_output_aliases={9: 1, 10: 2},
         # The blocked kr/vr inputs (diagonal source) push past the default
         # 16 MiB scoped-vmem limit by ~64 KiB at tq=128/bf16; v5e has far
-        # more VMEM than the conservative default allows.
+        # more VMEM than the conservative default allows. 64 MiB admits the
+        # hq>16 (4B/8B) shapes at 1024-token chunks.
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=32 * 1024 * 1024),
+            vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(layer_arr, tile_seq, tile_pos0, ctx_pad, block_tables,
       q, k_rows, v_rows, kv_scales, data, scales)
@@ -1217,7 +1223,8 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
 def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
                      max_q_len, num_gather_pages, page_size, num_slots,
                      num_layers, q_tile=128, pages_per_chunk=0,
-                     planes_dots: bool = True, interpret: bool = False):
+                     decode_pages_per_chunk=0, planes_dots: bool = True,
+                     interpret: bool = False):
     """Backend entry. Both kernels own their KV writes: prefill
     writes-through rows and scale blocks per tile; decode merges the new
     token's rows and scale lane into the streamed chunk and writes back
@@ -1254,6 +1261,6 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
         q, k_rows, v_rows, kv_scales, cache["data"], cache["scales"],
         layer_i, meta.context_lens, meta.block_tables, meta.slot_mapping,
         scale=scale, page_size=page_size, num_slots=num_slots,
-        num_layers=num_layers, kv_bits=kv_bits, planes_dots=planes_dots,
-        interpret=interpret)
+        num_layers=num_layers, pages_per_chunk=decode_pages_per_chunk,
+        kv_bits=kv_bits, planes_dots=planes_dots, interpret=interpret)
     return out, {"data": data, "scales": scales}

@@ -100,3 +100,51 @@ def test_engine_top_p_generates(tmp_path):
                         SamplingParams(temperature=0.0, max_tokens=8,
                                        ignore_eos=True), use_tqdm=False)
     assert solo[0]["token_ids"] == outs[1]["token_ids"]
+
+
+def test_fused_sample_greedy_matches_dense_argmax():
+    """fused_sample (LM head + sampling over vocab tiles, no [S, V] logits)
+    must reproduce argmax(last @ W) exactly for greedy rows, including
+    first-maximum tie-breaking across tile boundaries."""
+    import jax
+    from nanovllm_tpu.ops.sampler import VOCAB_TILE, fused_sample
+    s, h = 5, 64
+    v = VOCAB_TILE * 2 + 300  # three tiles, ragged tail
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    last = jax.random.normal(k1, (s, h), jnp.float32)
+    w = jax.random.normal(k2, (h, v), jnp.float32)
+    temps = jnp.zeros(s, jnp.float32)
+    dense = jnp.argmax(last @ w, axis=-1).astype(jnp.int32)
+    out = fused_sample(last, w, temps, k3)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(dense))
+
+
+def test_fused_sample_quantized_head_and_temperature():
+    """Quantized (int8 and packed int4) heads work tile-sliced, and T>0
+    rows draw valid, non-degenerate tokens."""
+    import jax
+    from nanovllm_tpu.ops.quant import quantize_weight
+    from nanovllm_tpu.ops.sampler import fused_sample
+    s, h, v = 4, 64, 1000
+    key = jax.random.PRNGKey(1)
+    k1, k2, k3 = jax.random.split(key, 3)
+    last = jax.random.normal(k1, (s, h), jnp.float32)
+    w = jax.random.normal(k2, (h, v), jnp.float32)
+    temps = jnp.zeros(s, jnp.float32)
+    from nanovllm_tpu.ops.quant import qmm
+    for wq in (quantize_weight(w, 8),
+               quantize_weight(w, 4, pack=True, layout="planes")):
+        out = fused_sample(last, wq, temps, k3)
+        # Exact oracle: dense argmax over the SAME quantized logits.
+        dense_q = jnp.argmax(qmm(last, wq, preferred=jnp.float32), axis=-1)
+        np.testing.assert_array_equal(np.asarray(out),
+                                      np.asarray(dense_q, np.int32))
+    # Temperature sampling: tokens in range, not all identical across seeds.
+    temps = jnp.full(s, 1.0, jnp.float32)
+    outs = {tuple(np.asarray(fused_sample(last, w, temps,
+                                          jax.random.PRNGKey(i))))
+            for i in range(4)}
+    assert len(outs) > 1
+    for o in outs:
+        assert all(0 <= t < v for t in o)
