@@ -248,6 +248,10 @@ def main():
         "unit": "tok/s",
         "vs_baseline": round(toks / BASELINE_FLASH_TOKS, 3),
         "ttft_p50_ms": summary["ttft"].get("p50_ms"),
+        # Scaling-efficiency measurement (north-star >=85%): efficiency at
+        # tp=N is toks_per_chip(N) / toks_per_chip(1), same workload and
+        # session. Modeled prediction: tools/scaling_model.py.
+        "toks_per_chip": round(toks / llm.config.tensor_parallel_size, 2),
         **mfu,
     }))
 

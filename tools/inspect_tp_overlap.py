@@ -33,7 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def build_compiled(tp: int, bs: int, steps: int, size: str,
-                   compiler_options: dict | None = None):
+                   compiler_options: dict | None = None,
+                   num_pages: int | None = None):
     from bench import QWEN3_SIZES
     from nanovllm_tpu.config import Config
     from nanovllm_tpu.engine.batch import BatchMeta, build_decode_meta
@@ -61,7 +62,10 @@ def build_compiled(tp: int, bs: int, steps: int, size: str,
     r.dtype, r.kv_dtype, r.kv_bits = jnp.bfloat16, jnp.int8, 8
     r._step_fns = {}
     r._rep = NamedSharding(mesh, P())
-    num_pages = 4 * bs * cfg.pages_per_seq  # size is irrelevant to schedule
+    if num_pages is None:
+        # Size is irrelevant to the schedule, but the compile's memory-fit
+        # pass is real: 4x only fits when the cache is sharded over tp>=2.
+        num_pages = (4 if tp > 1 else 1) * bs * cfg.pages_per_seq + 64
     r.num_slots = num_pages * cfg.kvcache_block_size
 
     shard = lambda tree, shardings: jax.tree.map(
