@@ -100,6 +100,9 @@ def main():
                    help="INT4 decode concat chunk form (A/B vs per-plane)")
     p.add_argument("--no-fused-sampler", action="store_true",
                    help="materialize full logits + separate sampler (A/B)")
+    p.add_argument("--no-defer-prefill", action="store_true",
+                   help="fetch prefill tokens synchronously per step (A/B "
+                        "vs the pipelined deferred-fetch default)")
     # Scaling-efficiency mode (north-star: >=85% tok/s efficiency 1 chip ->
     # 1 host -> >=2 hosts): --tp N shards the model over N local chips;
     # --distributed joins a pod slice first (jax.distributed.initialize) so
@@ -128,6 +131,8 @@ def main():
         extra["int4_planes_dots"] = False
     if args.no_fused_sampler:
         extra["fused_sampler"] = False
+    if args.no_defer_prefill:
+        extra["defer_prefill_fetch"] = False
     print(f"bench config: model={args.model or f'random-{args.model_size}'} "
           f"backend={args.attn_backend} quant={args.quant} "
           f"kv_cache_dtype={args.kv_cache_dtype} "

@@ -150,6 +150,14 @@ class Config:
     # never materialize (ops/sampler.fused_sample); requests using top-k /
     # top-p fall back to the full-logits sort path regardless.
     fused_sampler: bool = True
+    # Pipeline consecutive prefill dispatches: the engine enqueues each
+    # prefill step without fetching its sampled tokens and redeems all
+    # pending fetches right before the first non-prefill step (sampled
+    # prefill tokens are only consumed once decode starts). Back-to-back
+    # prefill waves then overlap enqueue with device execution instead of
+    # paying a full dispatch+sync round trip per step (23.6 ms fixed per
+    # 8x1024 step measured through the tunnel).
+    defer_prefill_fetch: bool = True
     dtype: str = "bfloat16"
     kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8 | int4
     quant: str = "none"            # none | int8 | int4 (weight-only)

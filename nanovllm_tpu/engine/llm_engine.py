@@ -52,6 +52,10 @@ class LLMEngine:
         # Runner resolves num_kvcache_blocks from the HBM budget first.
         self.scheduler = Scheduler(self.config)
         self.metrics = EngineMetrics()
+        # Deferred prefill dispatches awaiting their token fetch:
+        # [(seqs, stats, device_tokens)]. See Config.defer_prefill_fetch.
+        self._pending_prefill: list = []
+        self._prefill_phase_t0 = 0.0
         auto = self.config.auto_warmup
         if auto is None:
             auto = self.model_runner.mesh.devices.flat[0].platform != "cpu"
@@ -102,20 +106,35 @@ class LLMEngine:
         return seq.seq_id
 
     def step(self) -> tuple[list[tuple[int, list[int]]], StepStats]:
+        # Redeem deferred prefill fetches before any step that is not a
+        # prefill: decode scheduling reads seq.last_token and the committed
+        # lengths (and may free pages by finishing seqs, so it must run
+        # BEFORE schedule()).
+        flushed = []
+        if self._pending_prefill and not self.scheduler.prefill_admissible():
+            flushed = self._flush_prefill()
         seqs, stats = self.scheduler.schedule()
         forced = self.scheduler.force_finished
         if forced:
             # Permanently-inadmissible preempted sequences: return their
             # partial completions (scheduler.schedule documents the edge).
             self.scheduler.force_finished = []
-            outs = [(s.seq_id, s.completion_token_ids) for s in forced]
+            outs = flushed + [(s.seq_id, s.completion_token_ids)
+                              for s in forced]
             return outs, stats
         if not seqs:
             # Liveness edge: the sole runnable seq preempted itself
             # (reference scheduler.py:78-82 assert) — nothing ran this step;
             # the next step re-admits it from `waiting`.
-            return [], stats
+            return flushed, stats
         t0 = time.perf_counter()
+        if stats.is_prefill and self.config.defer_prefill_fetch:
+            tokens_dev = self.model_runner.run(seqs, True, stats.num_steps,
+                                               defer=True)
+            if not self._pending_prefill:
+                self._prefill_phase_t0 = t0
+            self._pending_prefill.append((seqs, stats, tokens_dev))
+            return flushed, stats
         token_lists = self.model_runner.run(seqs, stats.is_prefill,
                                             stats.num_steps)
         t1 = time.perf_counter()
@@ -132,8 +151,34 @@ class LLMEngine:
             if seq.first_token_t is None and seq.num_completion_tokens > 0:
                 seq.first_token_t = t1
                 self.metrics.ttft_s.append(t1 - seq.arrival_t)
-        outputs = [(seq.seq_id, seq.completion_token_ids) for seq in finished]
+        outputs = flushed + [(seq.seq_id, seq.completion_token_ids)
+                             for seq in finished]
         return outputs, stats
+
+    def _flush_prefill(self) -> list[tuple[int, list[int]]]:
+        """Fetch every pending deferred prefill's tokens (first real
+        synchronization of those dispatches), postprocess in dispatch order,
+        and account the whole pipelined phase's wall time across its steps
+        (per-step enqueue times would overstate throughput)."""
+        pending, self._pending_prefill = self._pending_prefill, []
+        outs = []
+        for seqs, stats, tokens_dev in pending:
+            token_lists = self.model_runner.finalize_tokens(tokens_dev,
+                                                            len(seqs))
+            finished = self.scheduler.postprocess(seqs, token_lists)
+            outs += [(s.seq_id, s.completion_token_ids) for s in finished]
+        t_end = time.perf_counter()
+        total = max(t_end - self._prefill_phase_t0, 1e-9)
+        phase_tokens = max(sum(s.num_scheduled_tokens for _, s, _ in pending),
+                           1)
+        for seqs, stats, _ in pending:
+            self.metrics.record_step(
+                stats, total * stats.num_scheduled_tokens / phase_tokens)
+            for seq in seqs:
+                if seq.first_token_t is None and seq.num_completion_tokens:
+                    seq.first_token_t = t_end
+                    self.metrics.ttft_s.append(t_end - seq.arrival_t)
+        return outs
 
     def is_finished(self) -> bool:
         return self.scheduler.is_finished()

@@ -60,6 +60,21 @@ class Scheduler:
     def add(self, seq: Sequence) -> None:
         self.waiting.append(seq)
 
+    def prefill_admissible(self) -> bool:
+        """True iff the next schedule() will schedule at least one prefill —
+        exactly the prefill loop's first-iteration admission test. The engine
+        uses this to decide when deferred prefill token fetches must be
+        redeemed: any step that is not a prefill needs the pending tokens
+        (decode metas read seq.last_token; page accounting reads the
+        committed lengths) before schedule() runs."""
+        if not self.waiting:
+            return False
+        seq = self.waiting[0]
+        new_tokens = len(seq) - seq.num_cached_tokens
+        padded = -(-new_tokens // self.prefill_q_tile) * self.prefill_q_tile
+        return (padded <= self.max_num_batched_tokens
+                and self.block_manager.can_allocate(seq))
+
     def schedule(self) -> tuple[list[Sequence], StepStats]:
         # Prefill first: drain `waiting` while the token budget, seq cap, and
         # page availability hold. The budget counts PADDED uncached tokens:

@@ -235,13 +235,22 @@ def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
     outputs are re-sliced into that order ([2Hq, prows] sub-lane slices —
     tiny, [32, 16] each). rem = ctx - chunk_base: piece r's mask is just
     8*j + r < rem, a [1, chunk/8] iota compare. `quantized` is implied
-    (int4 always carries scale blocks); int8_dots is not supported here
-    (measured no win on v5e even for int8)."""
+    (int4 always carries scale blocks).
+
+    int8 MXU dots (q_bd int8): the planes extract to int8 (nibbles [-7,7]
+    fit exactly) and every dot runs on the MXU's 2x-rate int8 path — the
+    lever that matters HERE and not for the int8 cache: int4's halved HBM
+    stream leaves the block-diagonal GQA dots (16 of 128 MXU rows useful)
+    as the kernel floor. sel_k carries qs*scale as in _decode_chunk_update;
+    probs are absmax-int8 per row per plane piece (each plane dot rescales
+    its own int32 partial exactly, so per-piece scales compose additively)."""
     m, l, acc = carry
     chunk = ppc * ps
     prows = ps // TOKENS_PER_I32
     chunk_rows = ppc * prows
     hq = sel_k.shape[0]
+    int8_dots = q_bd.dtype == jnp.int8
+    plane_dt = jnp.int8 if int8_dots else dot_dtype
     k_packed = kv_slot[:chunk_rows]
     v_packed = kv_slot[chunk_rows:2 * chunk_rows]
     sel_kv = jnp.concatenate([sel_k, sel_v], axis=0)
@@ -252,10 +261,15 @@ def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
     jiota = lax.broadcasted_iota(jnp.int32, (1, chunk_rows), 1)
     s_pieces, vs_pieces = [], []
     for r in range(TOKENS_PER_I32):
-        kp = int4_plane(k_packed, r, dot_dtype)          # [chunk/8, W]
-        sr = lax.dot_general(
-            q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # [Hq, chunk/8]
+        kp = int4_plane(k_packed, r, plane_dt)           # [chunk/8, W]
+        if int8_dots:
+            sr = lax.dot_general(
+                q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32)
+        else:
+            sr = lax.dot_general(
+                q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale  # [Hq, chunk/8]
         skv_r = (skv_pages[0][:, r * prows:(r + 1) * prows] if ppc == 1
                  else jnp.concatenate(
                      [sp[:, r * prows:(r + 1) * prows] for sp in skv_pages],
@@ -272,12 +286,20 @@ def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
     l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
     o = jnp.zeros_like(acc)
     for r in range(TOKENS_PER_I32):
-        vp = int4_plane(v_packed, r, dot_dtype)
-        pr = (p[:, r * chunk_rows:(r + 1) * chunk_rows]
-              * vs_pieces[r]).astype(dot_dtype)
-        o = o + lax.dot_general(
-            pr, vp, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        vp = int4_plane(v_packed, r, plane_dt)
+        pr = p[:, r * chunk_rows:(r + 1) * chunk_rows] * vs_pieces[r]
+        if int8_dots:
+            pmax = jnp.max(pr, axis=-1, keepdims=True)
+            psc = jnp.maximum(pmax, 1e-20) / 127.0
+            pd = jnp.round(pr / psc).astype(jnp.int8)
+            o = o + lax.dot_general(
+                pd, vp, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32).astype(jnp.float32) * psc
+        else:
+            o = o + lax.dot_general(
+                pr.astype(dot_dtype), vp,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
     return (m_next, l_next, acc * alpha + o)
 
 
@@ -684,9 +706,11 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     dot_dtype = (jnp.float32 if (q.dtype == jnp.float32
                                  and data.dtype == jnp.float32)
                  else jnp.bfloat16)
-    # int8 MXU dots are not wired into the per-plane INT4 path (measured no
-    # win on v5e even for the int8 cache).
-    int8_dots = int8_dots and quantized and not int4
+    # int8 MXU dots: no win for the int8 cache (the kernel is DMA-bound
+    # there — 799 GB/s ≈ HBM peak), but the INT4 cache halves the stream and
+    # leaves the block-diagonal GQA dots as the floor (~2.7 us/chunk, 16 of
+    # 128 MXU rows useful), which the MXU's 2x int8 rate directly halves.
+    int8_dots = int8_dots and quantized
 
     # Prebuild the block-diagonal Q (and scale selectors) in XLA: one fused
     # elementwise kernel over the whole batch, instead of ~5 us of iota/

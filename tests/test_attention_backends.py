@@ -378,6 +378,16 @@ def test_int4_kv_quantized_decode_close_to_fp32():
     err = np.abs(outs["int4"] - outs["f32"]).max()
     assert err < 0.35, f"int4 KV error too large: {err}"
     assert not np.allclose(outs["int4"], 0)
+    # int8-MXU-dot variant of the planes path (q and per-plane probs absmax-
+    # int8): the nibble operands are exact in int8, so the added error over
+    # the plain int4 path is only the q/probs rounding.
+    out8, _ = run_decode(
+        q, k_new, k_new, caches["int4"], 0, context_lens, tables, step_slots,
+        scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
+        num_layers=1, int8_dots=True)
+    err8 = np.abs(np.asarray(out8) - outs["f32"]).max()
+    assert err8 < 0.4, f"int4+int8-dots error too large: {err8}"
+    assert not np.allclose(np.asarray(out8), 0)
 
 
 def test_int4_prefill_matches_dense_within_noise():

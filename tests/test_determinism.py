@@ -47,7 +47,7 @@ def drive_and_log(llm, prompts, sps):
     log = []
     orig = runner.run
 
-    def run(seqs, is_prefill, num_steps=1):
+    def run(seqs, is_prefill, num_steps=1, defer=False):
         key = runner.bucket_key(seqs, is_prefill, num_steps)
         if is_prefill:
             raw = build_prefill_meta(seqs, key[1], key[2],
@@ -59,7 +59,7 @@ def drive_and_log(llm, prompts, sps):
                                     cfg.pages_per_seq, runner.num_slots)
         log.append((key, {k: np.asarray(v).tobytes()
                           for k, v in sorted(raw.items())}))
-        return orig(seqs, is_prefill, num_steps)
+        return orig(seqs, is_prefill, num_steps, defer=defer)
 
     runner.run = run
     outs = llm.generate(prompts, sps, use_tqdm=False)

@@ -312,3 +312,44 @@ def test_failed_batch_leaves_no_orphans():
     assert llm.scheduler.is_finished()  # nothing left behind
     out = llm.generate([[7, 8, 9]], sp, use_tqdm=False)
     assert len(out) == 1 and len(out[0]["token_ids"]) == 4
+
+
+def test_deferred_prefill_fetch_matches_eager_fetch():
+    """defer_prefill_fetch pipelines prefill dispatches and redeems the
+    token fetches at the first non-prefill step; outputs must be identical
+    to the synchronous path, including multi-wave prefill bursts (budget
+    forces several waves), max_tokens=1 requests that finish AT the flush,
+    and mixed lengths."""
+    rng = np.random.default_rng(5)
+    prompts = [rng.integers(1, 127, size=n).tolist()
+               for n in (60, 31, 44, 52, 17, 38, 29, 61)]
+    sps = [SamplingParams(temperature=0.0,
+                          max_tokens=1 if i % 3 == 0 else 6,
+                          ignore_eos=True)
+           for i in range(len(prompts))]
+    # budget 128 = one q_tile: every prompt pads to 128, one seq per wave.
+    a = make_llm(max_num_batched_tokens=128, max_model_len=128,
+                 defer_prefill_fetch=True).generate(prompts, sps,
+                                                    use_tqdm=False)
+    b = make_llm(max_num_batched_tokens=128, max_model_len=128,
+                 defer_prefill_fetch=False).generate(prompts, sps,
+                                                     use_tqdm=False)
+    for i, (x, y) in enumerate(zip(a, b)):
+        assert x["token_ids"] == y["token_ids"], i
+        assert len(x["token_ids"]) == sps[i].max_tokens
+
+
+def test_deferred_prefill_all_single_token():
+    """A workload that never decodes (every request max_tokens=1): the flush
+    happens on the step after the waiting queue drains, and generate must
+    still terminate with every output present."""
+    rng = np.random.default_rng(6)
+    prompts = [rng.integers(1, 127, size=20).tolist() for _ in range(5)]
+    sp = SamplingParams(temperature=0.0, max_tokens=1, ignore_eos=True)
+    llm = make_llm(max_num_batched_tokens=128, max_model_len=128,
+                   defer_prefill_fetch=True)
+    outs = llm.generate(prompts, sp, use_tqdm=False)
+    assert len(outs) == 5
+    assert all(len(o["token_ids"]) == 1 for o in outs)
+    assert llm.scheduler.is_finished()
+    assert not llm._pending_prefill
