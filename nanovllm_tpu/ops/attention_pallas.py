@@ -684,18 +684,21 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     rpp = scale_rows_per_page(hkv)
     pages_per_seq = block_tables.shape[1]
     if pages_per_chunk <= 0:
-        # 1024-token chunks: per-chunk fixed cost (DMA issue + dot latency)
-        # is the measured kernel limit — widening 512->1024 lifts the
-        # chained ctx-1536 stream from 651 to 722 GB/s (bench_kernels).
-        # End-to-end the difference sits inside the tunnel's same-day
-        # session noise (identical programs measured 5310-5593 tok/s hours
-        # apart), and 1536-token chunks regress the mixed-ctx engine run.
+        # Per-chunk fixed cost (DMA issue + dot latency), not HBM bandwidth,
+        # is the measured kernel limit, so chunk width is a per-dtype tuned
+        # choice (bench_kernels, bs=64 ctx=1536, one session):
+        #   int8: 1024-token chunks stream at 799 GB/s ≈ HBM peak (251.9 us;
+        #         2048-token chunks REGRESS to 330 us — bigger buffers hurt
+        #         the DMA overlap before bandwidth is the limit).
+        #   int4: the halved stream leaves fixed cost dominant — 2048-token
+        #         chunks win (227.4 us vs 277.6 at 1024; 4096 regresses to
+        #         303.5; page_size 256 regresses to 410).
         # Page copies past ceil(ctx/ps) are predicated off, so big chunks
         # cost no masked-read DMA waste. hq>16 shapes (Qwen3-4B/8B) used to
         # be gated to 512 by Mosaic's default 16 MiB scoped-vmem budget;
         # the explicit vmem_limit_bytes below lifts that (and the
         # token-plane INT4 buffers are half the int8 size anyway).
-        pages_per_chunk = max(1, 1024 // page_size)
+        pages_per_chunk = max(1, (2048 if int4 else 1024) // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
     chunk = ppc * page_size
     ps = page_size
