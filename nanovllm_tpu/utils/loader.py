@@ -63,6 +63,14 @@ def init_random_params(cfg: ModelConfig, dtype=jnp.bfloat16, seed: int = 0):
     norm_names = {"input_ln", "post_ln", "q_norm", "k_norm", "final_ln"}
     rng = np.random.default_rng(seed)
     npdtype = jnp.dtype(dtype)
+    # Sample a fixed pool once (in the target dtype) and tile it per leaf
+    # with a random phase: fresh standard_normal + f32->bf16 conversion for
+    # every element was ~26 s of the 0.6B engine construction; tiling is a
+    # memcpy (~1 s). 4M distinct values with per-leaf offsets keeps benches,
+    # determinism tests, and backend-equivalence tests statistically sane
+    # (weight VALUES never affect throughput, and both engines under test
+    # draw the identical tree for a fixed seed).
+    pool = (rng.standard_normal(1 << 22, np.float32) * 0.02).astype(npdtype)
 
     def init_leaf(path, shape):
         name = path[-1]
@@ -70,7 +78,9 @@ def init_random_params(cfg: ModelConfig, dtype=jnp.bfloat16, seed: int = 0):
             return np.ones(shape, npdtype)
         if name in ("bq", "bk", "bv"):
             return np.zeros(shape, npdtype)
-        return (rng.standard_normal(shape, np.float32) * 0.02).astype(npdtype)
+        n = int(np.prod(shape))
+        off = int(rng.integers(0, pool.size))
+        return np.resize(np.roll(pool, -off), n).reshape(shape)
 
     def walk(tree, path=()):
         if isinstance(tree, tuple):
