@@ -65,9 +65,9 @@ def main():
     p.add_argument("--output-len", type=int, default=1024)
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
     # INT4 KV + INT4 weights is the fastest measured config at every batch
-    # size since the nibble-plane weight kernel and the dtype-direct KV
-    # unpack (same-session A/B at 64x1024/1024: kv4 5622 vs kv8 5363; bs=8
-    # w4+kv4 2897 vs w8+kv8 2636). Accuracy for every config is CI-gated at
+    # size (round-4 same-session A/B at 64x1024/1024: kv4 5591 vs kv8 5241,
+    # +12.2% per decode step; with 2048-token int4 chunks + 256 fused steps
+    # the default reaches 6056). Accuracy for every config is CI-gated at
     # <= 0.1 ppl vs bf16 (tests/test_ppl_gate.py) — on a tiny random-init
     # model; full-size checkpoints are gated by tools/eval_ppl.py. So the
     # random-weight throughput path defaults to int4, but a REAL --model
