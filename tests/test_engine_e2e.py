@@ -353,3 +353,30 @@ def test_deferred_prefill_all_single_token():
     assert all(len(o["token_ids"]) == 1 for o in outs)
     assert llm.scheduler.is_finished()
     assert not llm._pending_prefill
+
+
+def test_deferred_prefill_with_midstream_add_request():
+    """Manual step() driving with requests arriving between steps: deferral
+    must flush before any decode step and newly added requests must still
+    prefill (admissible check consults live waiting state)."""
+    llm = make_llm(max_num_batched_tokens=128, max_model_len=128,
+                   defer_prefill_fetch=True)
+    eng = llm
+    rng = np.random.default_rng(7)
+    sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+    a = eng.add_request(rng.integers(1, 127, size=30).tolist(), sp)
+    outs = {}
+    steps = 0
+    added_mid = False
+    while not eng.is_finished() or not added_mid:
+        done, stats = eng.step()
+        for sid, toks in done:
+            outs[sid] = toks
+        steps += 1
+        if steps == 2 and not added_mid:
+            # Arrives while the first request is mid-decode.
+            b = eng.add_request(rng.integers(1, 127, size=25).tolist(), sp)
+            added_mid = True
+        assert steps < 50
+    assert len(outs) == 2
+    assert all(len(t) == 4 for t in outs.values())
