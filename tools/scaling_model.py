@@ -75,7 +75,8 @@ def shape_bytes(type_str: str) -> float:
 
 
 COLL_RE = re.compile(
-    r"=\s+((?:\([^)]*\)|[\w\[\],]+))\s+(all-reduce|all-gather|reduce-scatter|"
+    r"=\s+((?:\([^)]*\)|[\w\[\],]+(?:\{[^}]*\})?))\s+"
+    r"(all-reduce|all-gather|reduce-scatter|"
     r"collective-permute|all-to-all)(?:-start)?\(")
 
 
