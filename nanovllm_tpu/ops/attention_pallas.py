@@ -700,6 +700,13 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         # token-plane INT4 buffers are half the int8 size anyway).
         pages_per_chunk = max(1, (2048 if int4 else 1024) // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
+    # Balance chunk widths over the page budget: pages_per_seq=20 with a
+    # 16-page cap would split 16+4, and the int4 plane extract (and V/scale
+    # zeroing) processes the FULL chunk buffer regardless of how few tokens
+    # the tail chunk holds — the measured kv4 dip at the sweep's len=2048
+    # cell (2869 tok/s vs kv8's 3333; neighbors win). ceil-balancing gives
+    # 2x10 pages: same chunk count, no oversized tail buffer.
+    ppc = -(-pages_per_seq // (-(-pages_per_seq // ppc)))
     chunk = ppc * page_size
     ps = page_size
 
