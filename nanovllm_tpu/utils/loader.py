@@ -69,8 +69,13 @@ def init_random_params(cfg: ModelConfig, dtype=jnp.bfloat16, seed: int = 0):
     # memcpy (~1 s). 4M distinct values with per-leaf offsets keeps benches,
     # determinism tests, and backend-equivalence tests statistically sane
     # (weight VALUES never affect throughput, and both engines under test
-    # draw the identical tree for a fixed seed).
-    pool = (rng.standard_normal(1 << 22, np.float32) * 0.02).astype(npdtype)
+    # draw the identical tree for a fixed seed). The ODD pool length is
+    # load-bearing: a power-of-two pool tiles [V, 1024]-shaped leaves into
+    # exactly repeated ROWS (4096 distinct lm_head rows), and the resulting
+    # exact logit ties flip under different backends' float noise — caught
+    # as greedy-token divergence in dryrun_multichip.
+    pool = (rng.standard_normal((1 << 22) + 1, np.float32)
+            * 0.02).astype(npdtype)
 
     def init_leaf(path, shape):
         name = path[-1]
