@@ -159,7 +159,11 @@ def _watchdog_backend(backend: str, cells, args, results):
                 except ProcessLookupError:
                     pass
                 proc.wait()
-                results[f"{backend}/{bs}/{ln}"] = None
+                # Distinct from OOM in the table AND the JSON: a watchdog
+                # kill means the stall-not-OOM runtime failure mode, and
+                # misfiling it as OOM is exactly the misdiagnosis the
+                # watchdog exists to prevent.
+                results[f"{backend}/{bs}/{ln}"] = "HUNG"
                 done += 1
                 break
             if line is None:  # worker exited
@@ -171,7 +175,7 @@ def _watchdog_backend(backend: str, cells, args, results):
                     bs, ln = cells[done]
                     print(f"{backend:8s} bs={bs:<4d} len={ln:<6d}      "
                           f"CRASH (rc={rc})", flush=True)
-                    results[f"{backend}/{bs}/{ln}"] = None
+                    results[f"{backend}/{bs}/{ln}"] = f"CRASH(rc={rc})"
                     done += 1
                 alive = False
                 break
@@ -235,7 +239,8 @@ def main():
             cells_row = [results.get(f"{backend}/{bs}/{l}")
                          for l in args.input_lens]
             print(f"{bs:5d} | " + " | ".join(
-                f"{'OOM':>9s}" if c is None else f"{c:9.1f}"
+                f"{'OOM':>9s}" if c is None
+                else (f"{c:>9s}" if isinstance(c, str) else f"{c:9.1f}")
                 for c in cells_row))
     print(json.dumps({"grid": results}))
 

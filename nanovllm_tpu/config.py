@@ -240,7 +240,7 @@ class Config:
         # unwarmed bucket (which the tunnel runtime hangs on rather than
         # OOMs). Round the budget up so the dispatch ceiling and the budget
         # coincide; the HBM sizing reads the rounded value.
-        self.max_num_batched_tokens = _next_pow2(self.max_num_batched_tokens)
+        self.max_num_batched_tokens = next_pow2(self.max_num_batched_tokens)
         assert not self.quant_embed or self.quant != "none", (
             "quant_embed requires quant='int8' or 'int4' (the embedding is "
             "quantized alongside the matmul weights)"
@@ -261,5 +261,9 @@ def cdiv(a: int, b: int) -> int:
     return -(-a // b)
 
 
-def _next_pow2(n: int) -> int:
-    return 1 << max(0, n - 1).bit_length()
+def next_pow2(n: int, lo: int = 1) -> int:
+    """Smallest power of two >= max(n, lo). THE single implementation: the
+    scheduler's fused-step rounding, the runner's bucket ladder, and the
+    budget rounding below must agree exactly or the dispatch-ceiling ==
+    admission-budget invariant breaks."""
+    return max(lo, 1 << max(0, n - 1).bit_length())

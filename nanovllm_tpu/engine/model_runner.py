@@ -26,7 +26,7 @@ import jax.numpy as jnp
 import numpy as np
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-from nanovllm_tpu.config import Config, cdiv
+from nanovllm_tpu.config import Config, cdiv, next_pow2
 from nanovllm_tpu.engine.batch import BatchMeta, build_decode_meta, build_prefill_meta
 from nanovllm_tpu.models import qwen3
 from nanovllm_tpu.ops.sampler import sample
@@ -44,13 +44,6 @@ def next_bucket(n: int, ladder) -> int:
         if n <= b:
             return b
     return ladder[-1]
-
-
-def next_pow2(n: int, lo: int = 1) -> int:
-    b = lo
-    while b < n:
-        b *= 2
-    return b
 
 
 def _enable_compilation_cache():
@@ -290,10 +283,8 @@ class ModelRunner:
             # each device streams its own KV heads' pages (the lane-dim
             # cache layout shards head-aligned: local row indexing is
             # unchanged, each device just sees a narrower Hkv_local*D row).
-            try:
-                from jax import shard_map
-            except ImportError:  # pragma: no cover
-                from jax.experimental.shard_map import shard_map
+            from nanovllm_tpu.parallel.mesh import shard_map as _sm
+            shard_map = _sm()
             hp = P(None, "tp", None)   # [T, heads, D]
             scales_spec = P(None, "tp") if self.kv_dtype == jnp.int8 else P()
             cache_spec = {"data": P(None, "tp"), "scales": scales_spec}
@@ -320,11 +311,12 @@ class ModelRunner:
         fn = self._step_fns.get(key)
         if fn is not None:
             return fn
-        # Re-point the trace-time tp-mesh registry at THIS runner's mesh
-        # before tracing (quantized matmuls shard_map over it; another
-        # runner in the same process may have moved it).
-        from nanovllm_tpu.parallel.mesh import set_current_tp_mesh
-        set_current_tp_mesh(self.mesh)
+        # The trace-time tp-mesh registry is scoped around the traced body
+        # below (quantized matmuls + the fused sampler shard_map over it):
+        # the set/restore side effects execute exactly when jit traces, so
+        # THIS runner's mesh is active for its own traces and never leaks
+        # into later qmm/fused_sample calls elsewhere in the process.
+        from nanovllm_tpu.parallel.mesh import tp_mesh_scope
         is_prefill, t, s, qmax, pk, n_steps, filt = key
         # Sampling filters (top-k / top-p) compile in only when a scheduled
         # request uses them — the default program stays sort-free. Without
@@ -384,7 +376,13 @@ class ModelRunner:
                     body, (kv_cache, meta, rng), length=n_steps)
                 return kv_cache, toks  # [K, S]
 
-        fn = jax.jit(step, donate_argnums=(1,))
+        inner_step = step
+
+        def step_scoped(params, kv_cache, meta, rng):
+            with tp_mesh_scope(self.mesh):
+                return inner_step(params, kv_cache, meta, rng)
+
+        fn = jax.jit(step_scoped, donate_argnums=(1,))
         self._step_fns[key] = fn
         logger.info("compiling step bucket %s", key)
         return fn
@@ -505,6 +503,11 @@ class ModelRunner:
             raw = build_prefill_meta([], t, s, cfg.kvcache_block_size, pk,
                                      self.num_slots, q_tile=tq)
             jobs.append(((True, t, s, qmax, pk, 1, False), raw))
+        # Distinct requested shapes can land in the same bucket (e.g.
+        # decode_bs=[33, 48] both pad to s=64): dedupe by key or the pool
+        # compiles the identical program twice and pad-steps it twice.
+        seen: set[tuple] = set()
+        jobs = [j for j in jobs if not (j[0] in seen or seen.add(j[0]))]
         if not jobs:
             return
         if len(jobs) > 1:

@@ -14,7 +14,7 @@ from __future__ import annotations
 from collections import deque
 from dataclasses import dataclass
 
-from nanovllm_tpu.config import Config
+from nanovllm_tpu.config import Config, next_pow2
 from nanovllm_tpu.engine.native_core import make_block_manager
 from nanovllm_tpu.engine.sequence import Sequence, SequenceStatus
 
@@ -158,14 +158,14 @@ class Scheduler:
             # Round down to a power of two so the K-step jit bucket count
             # stays logarithmic as sequences approach max_model_len.
             k = max(1, min(k, cap))
-            k = 1 << (k.bit_length() - 1)
+            k = next_pow2(k + 1) // 2  # pow2 floor
             # Clamp by what any sequence can still use — rounded UP to the
             # next power of two (stays within the warmed bucket ladder;
             # overshoot is bounded by `useful` itself).
             useful = max(s.max_tokens - s.num_completion_tokens
                          for s in self.running)
             if useful < k:
-                k = 1 << max(0, useful - 1).bit_length()
+                k = next_pow2(useful)
         num_preempted = 0
         while self.running and num_seqs < self.max_num_seqs:
             seq = self.running.popleft()

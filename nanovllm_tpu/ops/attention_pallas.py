@@ -683,7 +683,8 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
     prows = page_size // TOKENS_PER_I32 if int4 else page_size
     rpp = scale_rows_per_page(hkv)
     pages_per_seq = block_tables.shape[1]
-    if pages_per_chunk <= 0:
+    auto_chunk = pages_per_chunk <= 0
+    if auto_chunk:
         # Per-chunk fixed cost (DMA issue + dot latency), not HBM bandwidth,
         # is the measured kernel limit, so chunk width is a per-dtype tuned
         # choice (bench_kernels, bs=64 ctx=1536, one session):
@@ -700,13 +701,17 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         # token-plane INT4 buffers are half the int8 size anyway).
         pages_per_chunk = max(1, (2048 if int4 else 1024) // page_size)
     ppc = min(pages_per_chunk, pages_per_seq)
-    # Balance chunk widths over the page budget: pages_per_seq=20 with a
-    # 16-page cap would split 16+4, and the int4 plane extract (and V/scale
-    # zeroing) processes the FULL chunk buffer regardless of how few tokens
-    # the tail chunk holds — the measured kv4 dip at the sweep's len=2048
-    # cell (2869 tok/s vs kv8's 3333; neighbors win). ceil-balancing gives
-    # 2x10 pages: same chunk count, no oversized tail buffer.
-    ppc = -(-pages_per_seq // (-(-pages_per_seq // ppc)))
+    if auto_chunk:
+        # Balance chunk widths over the page budget: pages_per_seq=20 with
+        # a 16-page cap would split 16+4, and the int4 plane extract (and
+        # V/scale zeroing) processes the FULL chunk buffer regardless of
+        # how few tokens the tail chunk holds — the measured kv4 dip at the
+        # sweep's len=2048 cell (2869 tok/s vs kv8's 3333; neighbors win).
+        # ceil-balancing gives 2x10 pages: same chunk count, no oversized
+        # tail buffer. An EXPLICIT pages_per_chunk is dispatched verbatim
+        # (it is an A/B knob; silently rewriting it would measure a
+        # configuration that was never requested).
+        ppc = -(-pages_per_seq // (-(-pages_per_seq // ppc)))
     chunk = ppc * page_size
     ps = page_size
 
@@ -1267,7 +1272,7 @@ def pallas_attention(q, k, v, cache, layer_i, meta, *, scale, is_prefill,
     scatter at all)."""
     t, hkv, d = k.shape
     # Token-plane INT4 cache stores int32 packed rows (kv_cache.py).
-    kv_bits = data_kv_bits(cache["data"], hkv, d)
+    kv_bits = data_kv_bits(cache["data"])
     quantized = kv_bits in (4, 8)
     if is_prefill:
         if quantized:

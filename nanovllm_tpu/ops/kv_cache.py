@@ -199,8 +199,10 @@ def kv_rows_packed(layer_i, is_v, slots, page_size: int, num_pages: int):
             + off // TOKENS_PER_I32)
 
 
-def data_kv_bits(data, num_kv_heads: int, head_dim: int) -> int:
-    """0 (un-quantized), 8 (int8 rows), or 4 (token-plane int32 rows)."""
+def data_kv_bits(data) -> int:
+    """0 (un-quantized), 8 (int8 rows), or 4 (token-plane int32 rows) —
+    decided purely by dtype (the shape-based detection died with head-pair
+    packing)."""
     if data.dtype == jnp.int32:
         return 4
     return 8 if data.dtype == jnp.int8 else 0
@@ -289,7 +291,7 @@ def write_kv(cache: dict, layer_i, k, v, slot_mapping, num_slots: int,
     """
     data = cache["data"]
     t, hkv, d = k.shape
-    kv_bits = data_kv_bits(data, hkv, d)
+    kv_bits = data_kv_bits(data)
     num_pages = num_slots // page_size
     valid = slot_mapping < num_slots
     total = data.shape[0]
@@ -372,7 +374,7 @@ def gather_pages(cache: dict, layer_i, block_tables, num_gather_pages: int,
     data = cache["data"]
     s = block_tables.shape[0]
     d = head_dim or data.shape[1] // num_kv_heads
-    kv_bits = data_kv_bits(data, num_kv_heads, d)
+    kv_bits = data_kv_bits(data)
     quantized = kv_bits in (4, 8)
     num_pages = num_slots // page_size
     tables = block_tables[:, :num_gather_pages]  # [S, Pk]

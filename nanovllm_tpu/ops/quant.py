@@ -57,11 +57,8 @@ def quantize_weight(w, bits: int = 8, pack: bool = False,
 
 
 def _shard_map():
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
-    return shard_map
+    from nanovllm_tpu.parallel.mesh import shard_map
+    return shard_map()
 
 
 def _qmm_int4_tp(x, planes, s, row_parallel, mesh, out_dtype):

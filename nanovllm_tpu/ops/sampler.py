@@ -126,10 +126,9 @@ def fused_sample(last, lm_head, temperatures, key):
     if mesh is None:
         return _fused_sample_local(last, lm_head, temperatures, key)[1]
     from jax.sharding import PartitionSpec as P
-    try:
-        from jax import shard_map
-    except ImportError:  # pragma: no cover - older jax
-        from jax.experimental.shard_map import shard_map
+
+    from nanovllm_tpu.parallel.mesh import shard_map as _sm
+    shard_map = _sm()
 
     def body(lastl, wl, temps, k):
         ax = jax.lax.axis_index("tp")

@@ -31,7 +31,7 @@ def run_decode(q, k_new, v_new, cache, layer_i, context_lens, block_tables,
     """Mirror of pallas_attention's decode prep: build the new-row operands
     and invoke the kernel (interpret mode)."""
     t, hkv, d = k_new.shape
-    kv_bits = data_kv_bits(cache["data"], hkv, d)
+    kv_bits = data_kv_bits(cache["data"])
     if kv_bits:
         k_rows, v_rows, kv_scales = quantize_kv_rows(k_new, v_new, kv_bits)
     else:
