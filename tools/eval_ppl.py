@@ -209,6 +209,13 @@ def main():
         worst = max((abs(r["ppl"] - base), n) for n, r in results.items()
                     if n != "bf16")
         verdict = "PASS" if worst[0] <= 0.1 else "FAIL"
+        if not args.model:
+            # Random weights: ppl ≈ vocab size (e^12 for Qwen3 shapes), so
+            # a 0.1-ABSOLUTE-ppl delta is not a meaningful bar (the NLL
+            # deltas are ~1e-3 nats). This mode only proves the plumbing;
+            # the enforced gate runs in CI on a small model
+            # (tests/test_ppl_gate.py) and on real checkpoints via --model.
+            verdict = "PLUMBING-ONLY (random weights; gate needs --model)"
         print(json.dumps({"gate": "ppl_delta<=0.1", "verdict": verdict,
                           "worst_delta": round(worst[0], 6),
                           "worst_config": worst[1],
