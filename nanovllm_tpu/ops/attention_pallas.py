@@ -94,12 +94,22 @@ def _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size,
     ONE MXU dot per contraction (and probs x V one more) instead of per-page
     dot/concat chains — the kernels' measured limit is per-chunk fixed cost,
     not HBM bandwidth. `prows` = data rows per page (page_size, or
-    page_size/8 packed int32 rows for token-plane INT4). Each copy carries a
-    PREDICATE (page start < `limit` tokens): the caller starts/waits it
-    under pl.when, so a range's last chunk skips pages past ceil(limit/ps)
-    entirely (no masked-read DMA waste). Predicates are pure functions of
+    page_size/8 packed int32 rows for token-plane INT4). Scale blocks land
+    LANE-MAJOR for the INT4 kernels: page i's [RPP, ps] block at
+    s_buf[slot, :, i*ps:(i+1)*ps] (a 128-lane-aligned window), so the whole
+    chunk's scale fold is ONE [2Hq, RPP] selector dot against [RPP, chunk]
+    instead of a dot per page — the per-page tiny dots were a measured
+    per-chunk fixed cost (int4 decode 277.7 -> 263.6 us same-session at
+    bs=64/ctx=1536). The INT8 kernels keep the ROW-MAJOR [ppc*RPP, ps]
+    buffer: the lane-windowed DMA dest (VMEM tile-strided rows) REGRESSED
+    the DMA-bound int8 decode 228.8 -> 290.9 us in the same A/B, costing
+    more than the dot/concat savings. Each copy carries a PREDICATE (page
+    start < `limit` tokens): the caller starts/waits it under pl.when, so a
+    range's last chunk skips pages past ceil(limit/ps) entirely (no
+    masked-read DMA waste). Predicates are pure functions of
     (si, chunk_idx, i, limit), so starts and waits always match."""
     chunk_rows = ppc * prows
+    lane_major = prows != page_size  # int4's packed rows mark the kernel
 
     def chunk_copies(si, chunk_idx, slot, limit):
         copies = []
@@ -116,10 +126,12 @@ def _mk_split_chunk_copies(data_ref, scales_ref, bt_ref, ppc, page_size,
                 kv_buf.at[slot, pl.ds(chunk_rows + i * prows, prows)],
                 sems.at[slot])))
             if quantized:
+                sdst = (s_buf.at[slot, :, pl.ds(i * page_size, page_size)]
+                        if lane_major
+                        else s_buf.at[slot, pl.ds(i * rpp, rpp)])
                 copies.append((pred, pltpu.make_async_copy(
                     scales_ref.at[pl.ds((li * num_pages + page) * rpp, rpp)],
-                    s_buf.at[slot, pl.ds(i * rpp, rpp)],
-                    sems.at[slot])))
+                    sdst, sems.at[slot])))
         return copies
 
     return chunk_copies
@@ -171,16 +183,26 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
         k_chunk = kv_slot[:chunk]
         v_chunk = kv_slot[chunk:2 * chunk]
     if quantized:
-        # One [2*Hq, RPP] selector dot per page yields BOTH scale rows
-        # (score rows on top, prob rows below) — half the tiny-dot count.
         sel_kv = jnp.concatenate([sel_k, sel_v], axis=0)
         hq = sel_k.shape[0]
-        skv_parts = [lax.dot_general(
-            sel_kv, s_slot[i * rpp:(i + 1) * rpp],
-            dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32) for i in range(ppc)]
-        skv = (skv_parts[0] if ppc == 1
-               else jnp.concatenate(skv_parts, axis=1))   # [2*Hq, chunk]
+        if int4:
+            # ONE [2*Hq, RPP] selector dot against the lane-major
+            # [RPP, chunk] scale buffer yields BOTH scale rows (score rows
+            # on top, prob rows below) for the whole chunk. Output lanes =
+            # buffer lanes = (page, plane-permuted in-page token), matching
+            # _unpack_pages' chunk lanes — no re-slicing.
+            skv = lax.dot_general(
+                sel_kv, s_slot, dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)       # [2*Hq, chunk]
+        else:
+            # INT8 keeps the row-major buffer (see _mk_split_chunk_copies):
+            # one [2*Hq, RPP] selector dot per page, concatenated.
+            skv_parts = [lax.dot_general(
+                sel_kv, s_slot[i * rpp:(i + 1) * rpp],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) for i in range(ppc)]
+            skv = (skv_parts[0] if ppc == 1
+                   else jnp.concatenate(skv_parts, axis=1))  # [2*Hq, chunk]
     if int8_dots:
         # q_bd is per-row absmax-quantized int8 (sel_k carries its scale ×
         # the softmax scale): the dots run on the MXU's int8 path (2× the
@@ -254,10 +276,12 @@ def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
     k_packed = kv_slot[:chunk_rows]
     v_packed = kv_slot[chunk_rows:2 * chunk_rows]
     sel_kv = jnp.concatenate([sel_k, sel_v], axis=0)
-    skv_pages = [lax.dot_general(
-        sel_kv, s_slot[i * rpp:(i + 1) * rpp],
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32) for i in range(ppc)]  # [2Hq, ps]
+    # ONE selector dot for the whole chunk (lane-major scale buffer); its
+    # lanes are (page, plane-permuted in-page token) — per-piece re-slicing
+    # below picks plane r's 16-lane window out of each page.
+    skv = lax.dot_general(
+        sel_kv, s_slot, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)              # [2Hq, chunk]
     jiota = lax.broadcasted_iota(jnp.int32, (1, chunk_rows), 1)
     s_pieces, vs_pieces = [], []
     for r in range(TOKENS_PER_I32):
@@ -270,10 +294,10 @@ def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
             sr = lax.dot_general(
                 q_bd, kp, dimension_numbers=(((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale  # [Hq, chunk/8]
-        skv_r = (skv_pages[0][:, r * prows:(r + 1) * prows] if ppc == 1
+        skv_r = (skv[:, r * prows:(r + 1) * prows] if ppc == 1
                  else jnp.concatenate(
-                     [sp[:, r * prows:(r + 1) * prows] for sp in skv_pages],
-                     axis=1))                            # [2Hq, chunk/8]
+                     [skv[:, p * ps + r * prows:p * ps + (r + 1) * prows]
+                      for p in range(ppc)], axis=1))     # [2Hq, chunk/8]
         sr = sr * skv_r[:hq]
         sr = jnp.where(TOKENS_PER_I32 * jiota + r < rem, sr, MASK_VALUE)
         s_pieces.append(sr)
@@ -339,9 +363,12 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)              # [rows, chunk]
         if quantized:
-            krow = jnp.concatenate(
+            # int4: lane-major scale buffer — head h's K scales for the
+            # whole chunk are ONE row slice (the per-page concat chain was
+            # fixed cost). int8: row-major buffer, per-page row concat.
+            krow = (s_slot[h:h + 1, :] if int4 else jnp.concatenate(
                 [s_slot[i * rpp + h:i * rpp + h + 1, :] for i in range(ppc)],
-                axis=1).astype(jnp.float32)                  # [1, chunk]
+                axis=1)).astype(jnp.float32)                 # [1, chunk]
             s = s * krow
         if mask is not None:
             s = jnp.where(mask, s, MASK_VALUE)
@@ -351,9 +378,10 @@ def _flash_heads_chunk(carry, q_heads, kv_slot, s_slot, mask, ppc, ps, rpp,
         p = jnp.exp(s - m_next)
         l_next = alpha * l + jnp.sum(p, axis=-1, keepdims=True)
         if quantized:
-            vrow = jnp.concatenate(
-                [s_slot[i * rpp + hkv + h:i * rpp + hkv + h + 1, :]
-                 for i in range(ppc)], axis=1).astype(jnp.float32)
+            vrow = (s_slot[hkv + h:hkv + h + 1, :] if int4
+                    else jnp.concatenate(
+                        [s_slot[i * rpp + hkv + h:i * rpp + hkv + h + 1, :]
+                         for i in range(ppc)], axis=1)).astype(jnp.float32)
             p = p * vrow
         o_curr = lax.dot_general(
             p.astype(dot_dtype), v_chunk[:, hs].astype(dot_dtype),
@@ -401,7 +429,9 @@ def _decode_kernel(
     # scratch
     kv_buf,         # VMEM [NBUF, 2*chunk, Hkv*D], K/V-SPLIT: the chunk's K
     #                 rows at [:chunk] (page i at i*ps), V rows at [chunk:]
-    s_buf,          # VMEM [NBUF, ppc*RPP, ps] bf16 transposed scale blocks
+    s_buf,          # VMEM scale blocks: int4 lane-major [NBUF, RPP, ppc*ps]
+    #                 (page i's transposed block in lanes [i*ps, (i+1)*ps));
+    #                 int8 row-major [NBUF, ppc*RPP, ps]
     wb_s,           # VMEM [RPP, ps] bf16: merged scale block staged for
     #                 write-back
     wb_kv,          # VMEM [2*win, Hkv*D] cache dtype: merged K window (rows
@@ -568,11 +598,15 @@ def _decode_kernel(
         kv_buf[slot_buf, pl.ds(vbase, win), :] = wv
         wb_kv[pl.ds(win, win), :] = wv
         if quantized:
-            blk = s_buf[slot_buf, pl.ds(pic * rpp, rpp), :]    # [RPP, ps]
+            blk = (s_buf[slot_buf, :, pl.ds(pic * ps, ps)] if int4
+                   else s_buf[slot_buf, pl.ds(pic * rpp, rpp), :])  # [RPP, ps]
             lane = lax.broadcasted_iota(jnp.int32, (rpp, ps), 1)
             slane = plane_lane(off, ps) if int4 else off
             merged = jnp.where(lane == slane, scol_ref[0], blk)
-            s_buf[slot_buf, pl.ds(pic * rpp, rpp), :] = merged
+            if int4:
+                s_buf[slot_buf, :, pl.ds(pic * ps, ps)] = merged
+            else:
+                s_buf[slot_buf, pl.ds(pic * rpp, rpp), :] = merged
             wb_s[...] = merged
         for c in wb_copies():
             c.start()
@@ -601,7 +635,10 @@ def _decode_kernel(
             def _():
                 kv_buf[slot_buf, pl.ds(chunk_rows + i * prows, prows), :] = \
                     jnp.zeros((prows, kv_buf.shape[2]), kv_buf.dtype)
-                if quantized:
+                if quantized and int4:
+                    s_buf[slot_buf, :, pl.ds(i * ps, ps)] = jnp.zeros(
+                        (rpp, ps), s_buf.dtype)
+                elif quantized:
                     s_buf[slot_buf, pl.ds(i * rpp, rpp), :] = jnp.zeros(
                         (rpp, ps), s_buf.dtype)
 
@@ -822,7 +859,8 @@ def paged_decode_attention(q, k_rows, v_rows, kv_scales, data,
         ],
         scratch_shapes=[
             pltpu.VMEM((nbuf, 2 * chunk_rows, lw), data.dtype),
-            pltpu.VMEM((nbuf, ppc * rpp, ps), SCALE_DTYPE),
+            pltpu.VMEM((nbuf, rpp, ppc * ps) if int4
+                       else (nbuf, ppc * rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((rpp, ps), SCALE_DTYPE),
             pltpu.VMEM((2 * win, lw), data.dtype),
             pltpu.SemaphoreType.DMA((nbuf,)),
@@ -928,7 +966,8 @@ def _prefill_kernel(
     #                 quantized)
     # scratch
     kv_buf,         # VMEM [2, ppc*2*page_size, Hkv*D] (per page: K rows, V rows)
-    s_buf,          # VMEM [2, ppc*RPP, ps] bf16
+    s_buf,          # VMEM scale blocks: int4 lane-major [2, RPP, ppc*ps],
+    #                 int8 row-major [2, ppc*RPP, ps]
     sems,           # DMA sems [2]
     wsem,           # DMA sem for the tile's row writes
     *,
@@ -1099,7 +1138,10 @@ def _prefill_kernel(
                 def _():
                     kv_buf[slot, pl.ds(chunk_rows + i * crows, crows), :] = \
                         jnp.zeros((crows, kv_buf.shape[2]), kv_buf.dtype)
-                    if quantized:
+                    if quantized and int4:
+                        s_buf[slot, :, pl.ds(i * ps, ps)] = jnp.zeros(
+                            (rpp, ps), s_buf.dtype)
+                    elif quantized:
                         s_buf[slot, pl.ds(i * rpp, rpp), :] = jnp.zeros(
                             (rpp, ps), s_buf.dtype)
 
@@ -1229,7 +1271,8 @@ def ragged_prefill_attention(q, k_rows, v_rows, kv_scales, data,
         scratch_shapes=[
             pltpu.VMEM((2, 2 * (chunk // TOKENS_PER_I32 if int4 else chunk),
                         lw), data.dtype),
-            pltpu.VMEM((2, ppc * rpp, page_size), SCALE_DTYPE),
+            pltpu.VMEM((2, rpp, ppc * page_size) if int4
+                       else (2, ppc * rpp, page_size), SCALE_DTYPE),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA,
         ],
