@@ -64,17 +64,18 @@ def main():
     p.add_argument("--input-len", type=int, default=1024)
     p.add_argument("--output-len", type=int, default=1024)
     p.add_argument("--attn-backend", default="pallas", choices=["pallas", "ref"])
-    # INT4 KV + INT4 weights is the fastest measured config at every batch
-    # size (round-4 same-session A/B at 64x1024/1024: kv4 5591 vs kv8 5241,
-    # +12.2% per decode step; with 2048-token int4 chunks + 256 fused steps
-    # the default reaches 6056). Accuracy for every config is CI-gated at
-    # <= 0.1 ppl vs bf16 (tests/test_ppl_gate.py) — on a tiny random-init
-    # model; full-size checkpoints are gated by tools/eval_ppl.py. So the
-    # random-weight throughput path defaults to int4, but a REAL --model
-    # checkpoint defaults to unquantized (pass --quant/--kv-cache-dtype
-    # explicitly to benchmark a quantized real model). Both int4 forms run
-    # under tensor parallelism (shard_mapped Pallas kernels).
-    p.add_argument("--kv-cache-dtype", default=None,
+    # "auto" picks the MEASURED KV regime per max context (Config:
+    # int8 <= 1536 tokens, token-plane int4 above — the round-4 sweep
+    # crossover) whenever weights are quantized; with unquantized weights
+    # it stays bf16. The random-weight throughput path defaults to
+    # quant=int4 so auto engages; a REAL --model checkpoint defaults to
+    # unquantized (pass --quant/--kv-cache-dtype explicitly to benchmark a
+    # quantized real model). Accuracy for every shipped combo is CI-gated
+    # at <= 0.1 ppl vs bf16 (tests/test_ppl_gate.py) — on a tiny
+    # random-init model; full-size checkpoints are gated by
+    # tools/eval_ppl.py. All quantized forms run under tensor parallelism
+    # (shard_mapped Pallas kernels).
+    p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "bfloat16", "int8", "int4"])
     p.add_argument("--quant", default=None, choices=["none", "int8", "int4"])
     p.add_argument("--quant-embed", action="store_true",
@@ -114,8 +115,6 @@ def main():
 
     if args.quant is None:
         args.quant = "none" if args.model else "int4"
-    if args.kv_cache_dtype is None:
-        args.kv_cache_dtype = "auto" if args.model else "int4"
     max_model_len = args.max_model_len or (args.input_len + args.output_len)
     extra = {}
     if args.hbm_utilization is not None:
@@ -161,6 +160,11 @@ def main():
         auto_warmup=False,
     )
 
+    if args.kv_cache_dtype == "auto":
+        print(f"kv_cache_dtype auto -> {llm.config.kv_cache_dtype} "
+              f"(max_model_len={max_model_len}, quant={args.quant})",
+              flush=True)
+
     def vocab_of(llm):
         return llm.config.model_config.vocab_size
 
@@ -204,9 +208,10 @@ def main():
     total_out = args.num_seqs * args.output_len  # output-only, like reference
     toks = total_out / dt
     tag = args.attn_backend
-    if args.kv_cache_dtype == "int8":
+    kvd = llm.config.kv_cache_dtype  # "auto" resolved by Config
+    if kvd == "int8":
         tag += "+kv8"
-    elif args.kv_cache_dtype == "int4":
+    elif kvd == "int4":
         tag += "+kv4"
     if args.quant != "none":
         tag += f"+w{args.quant[3:]}"

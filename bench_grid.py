@@ -64,12 +64,15 @@ def add_args(p):
     p.add_argument("--batch-sizes", nargs="+", type=int, default=[16, 32, 64])
     p.add_argument("--input-lens", nargs="+", type=int,
                    default=[512, 1024, 2048])
-    p.add_argument("--kv-cache-dtype", default="int8",
+    # "auto" resolves ONCE from the grid's max context (one engine serves
+    # every cell): int8 KV for short max contexts, int4 for long
+    # (config.KV_AUTO_CTX_CROSSOVER). Pin explicitly to sweep a regime.
+    p.add_argument("--kv-cache-dtype", default="auto",
                    choices=["auto", "bfloat16", "int8", "int4"])
-    # Weight-only INT8 (accuracy-gated by tests/test_model_parity.py): small
-    # batches are weight-read-bound, so fused-dequant matmuls lift the
-    # bs=16 column the most.
-    p.add_argument("--quant", default="int8", choices=["none", "int8", "int4"])
+    # Weight-only quantization (accuracy-gated by tests/test_ppl_gate.py);
+    # int4 matches bench.py's shipped default. Small batches are
+    # weight-read-bound, so fused-dequant matmuls lift bs=16 the most.
+    p.add_argument("--quant", default="int4", choices=["none", "int8", "int4"])
     p.add_argument("--decode-steps", type=int, default=64)
     # 0 = output_len == input_len (the reference grid's convention); the
     # reference's bs=32 latency sweep instead holds output at 512 while

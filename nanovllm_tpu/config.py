@@ -98,6 +98,11 @@ ATTN_BACKEND_ALIASES = {
     "sdpa.math": "ref",
 }
 
+# kv_cache_dtype="auto" crossover (tokens of max context): INT8 KV at or
+# below, token-plane INT4 KV above. Measured round-4 sweep, one session
+# (results/r4_sweep_*, README regime table).
+KV_AUTO_CTX_CROSSOVER = 1536
+
 
 @dataclass
 class Config:
@@ -159,7 +164,16 @@ class Config:
     # 8x1024 step measured through the tunnel).
     defer_prefill_fetch: bool = True
     dtype: str = "bfloat16"
-    kv_cache_dtype: str = "auto"   # auto | bfloat16 | float32 | int8 | int4
+    # auto | bfloat16 | float32 | int8 | int4. "auto" picks the MEASURED
+    # best regime (the reference ships its best backend by default,
+    # config.py:10-22): with quantized weights (a throughput-first config)
+    # it resolves to int8 KV when max_model_len <= 1536 and int4 KV above —
+    # the round-4 sweep crossover (README: len-512 cell kv8 7140 vs kv4
+    # 5216 tok/s; len-3584 kv4 2431 vs kv8 2099; INT4 pays a fixed
+    # per-chunk plane-extract cost and saves stream traffic, so it loses
+    # short contexts and wins long ones). With unquantized weights
+    # (quality-first) auto stays bf16.
+    kv_cache_dtype: str = "auto"
     quant: str = "none"            # none | int8 | int4 (weight-only)
     # Also store the embedding table as int8 with per-row scales (the lookup
     # dequantizes the gathered rows). Saves vocab*hidden bytes of HBM — the
@@ -211,10 +225,6 @@ class Config:
         assert self.quant in ("none", "int8", "int4")
         assert self.kv_cache_dtype in ("auto", "bfloat16", "float32",
                                        "int8", "int4")
-        assert self.kv_cache_dtype not in ("int8", "int4") \
-            or self.kvcache_block_size % 128 == 0, (
-            "int8 KV cache requires kvcache_block_size % 128 == 0 "
-            "(page == whole scale rows)")
         if self.model_config is None:
             if self.model and os.path.isdir(self.model):
                 self.model_config = ModelConfig.from_hf_dir(self.model)
@@ -222,6 +232,19 @@ class Config:
                 self.model_config = ModelConfig()
         mc = self.model_config
         self.max_model_len = min(self.max_model_len, mc.max_position_embeddings)
+        if self.kv_cache_dtype == "auto":
+            # Resolve the measured-regime pick here so every consumer
+            # (runner, benches, logs) sees the concrete dtype. Quantized KV
+            # needs whole-scale-block pages, so odd page sizes keep bf16.
+            if self.quant != "none" and self.kvcache_block_size % 128 == 0:
+                self.kv_cache_dtype = ("int8" if self.max_model_len
+                                       <= KV_AUTO_CTX_CROSSOVER else "int4")
+            else:
+                self.kv_cache_dtype = self.dtype
+        assert self.kv_cache_dtype not in ("int8", "int4") \
+            or self.kvcache_block_size % 128 == 0, (
+            "int8/int4 KV cache requires kvcache_block_size % 128 == 0 "
+            "(page == whole scale rows)")
         # The scheduler budgets TILE-PADDED tokens, so the invariant that
         # keeps every valid-length request schedulable is on the padded
         # max length, not the raw one.
