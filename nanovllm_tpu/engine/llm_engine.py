@@ -55,7 +55,7 @@ class LLMEngine:
         # Deferred prefill dispatches awaiting their token fetch:
         # [(seqs, stats, device_tokens)]. See Config.defer_prefill_fetch.
         self._pending_prefill: list = []
-        self._prefill_phase_t0 = 0.0
+        self._prefill_last_t = 0.0
         auto = self.config.auto_warmup
         if auto is None:
             auto = self.model_runner.mesh.devices.flat[0].platform != "cpu"
@@ -132,8 +132,17 @@ class LLMEngine:
             tokens_dev = self.model_runner.run(seqs, True, stats.num_steps,
                                                defer=True)
             if not self._pending_prefill:
-                self._prefill_phase_t0 = t0
+                self._prefill_last_t = t0
             self._pending_prefill.append((seqs, stats, tokens_dev))
+            # ONE-BEHIND redemption: with this wave's dispatch enqueued, the
+            # PREVIOUS wave is strictly ahead of it on the device stream, so
+            # fetching it now waits only for its own completion while this
+            # wave executes — first tokens land per wave (TTFT) without
+            # stalling the pipeline (the flush-only policy deferred every
+            # TTFT to the end of the whole prefill phase: p50 909 ms at
+            # 64x1024, BENCH_r04).
+            if len(self._pending_prefill) > 1:
+                flushed += self._redeem_oldest()
             return flushed, stats
         token_lists = self.model_runner.run(seqs, stats.is_prefill,
                                             stats.num_steps)
@@ -155,29 +164,31 @@ class LLMEngine:
                              for seq in finished]
         return outputs, stats
 
-    def _flush_prefill(self) -> list[tuple[int, list[int]]]:
-        """Fetch every pending deferred prefill's tokens (first real
-        synchronization of those dispatches), postprocess in dispatch order,
-        and account the whole pipelined phase's wall time across its steps
-        (per-step enqueue times would overstate throughput)."""
-        pending, self._pending_prefill = self._pending_prefill, []
-        outs = []
-        for seqs, stats, tokens_dev in pending:
-            token_lists = self.model_runner.finalize_tokens(tokens_dev,
-                                                            len(seqs))
-            finished = self.scheduler.postprocess(seqs, token_lists)
-            outs += [(s.seq_id, s.completion_token_ids) for s in finished]
+    def _redeem_oldest(self) -> list[tuple[int, list[int]]]:
+        """Fetch the OLDEST pending deferred prefill's tokens (waits only
+        for that dispatch — later waves keep executing behind it),
+        postprocess, and account its wall slice (time since the previous
+        redemption, which in steady state is one pipelined wave)."""
+        seqs, stats, tokens_dev = self._pending_prefill.pop(0)
+        token_lists = self.model_runner.finalize_tokens(tokens_dev, len(seqs))
+        finished = self.scheduler.postprocess(seqs, token_lists)
         t_end = time.perf_counter()
-        total = max(t_end - self._prefill_phase_t0, 1e-9)
-        phase_tokens = max(sum(s.num_scheduled_tokens for _, s, _ in pending),
-                           1)
-        for seqs, stats, _ in pending:
-            self.metrics.record_step(
-                stats, total * stats.num_scheduled_tokens / phase_tokens)
-            for seq in seqs:
-                if seq.first_token_t is None and seq.num_completion_tokens:
-                    seq.first_token_t = t_end
-                    self.metrics.ttft_s.append(t_end - seq.arrival_t)
+        self.metrics.record_step(
+            stats, max(t_end - self._prefill_last_t, 1e-9))
+        self._prefill_last_t = t_end
+        for seq in seqs:
+            if seq.first_token_t is None and seq.num_completion_tokens:
+                seq.first_token_t = t_end
+                self.metrics.ttft_s.append(t_end - seq.arrival_t)
+        return [(s.seq_id, s.completion_token_ids) for s in finished]
+
+    def _flush_prefill(self) -> list[tuple[int, list[int]]]:
+        """Drain every still-pending deferred prefill (with one-behind
+        redemption that is normally just the last wave) before decode
+        scheduling reads the committed lengths."""
+        outs = []
+        while self._pending_prefill:
+            outs += self._redeem_oldest()
         return outs
 
     def is_finished(self) -> bool:

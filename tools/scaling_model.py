@@ -50,10 +50,9 @@ jax.config.update("jax_platforms", "cpu")
 # v5e per-chip constants (public: cloud.google.com/tpu/docs/v5e; scaling-book
 # chapter "TPUs"). ICI: 2D torus, 45 GB/s one-way per link; a 1D ring uses 2
 # links bidirectionally => 90 GB/s of ring bandwidth per chip. ~1 us/hop.
-PEAK_FLOPS = 197e12
-HBM_BW = 819e9
-ICI_RING_BW = 2 * 45e9
-ICI_HOP_LAT = 1e-6
+from nanovllm_tpu.parallel.scaling import (  # noqa: E402
+    HBM_BW, ICI_HOP_LAT, ICI_RING_BW, PEAK_FLOPS, model_decode_step,
+    ring_ag_time, ring_ar_time)
 
 DTYPE_BYTES = {"f32": 4, "bf16": 2, "f16": 2, "s32": 4, "u32": 4, "s8": 1,
                "u8": 1, "pred": 1, "s16": 2, "u16": 2, "s64": 8, "u64": 8}
@@ -96,48 +95,20 @@ def hlo_collectives(hlo: str):
     return out
 
 
-def ring_ar_time(nbytes: float, tp: int) -> float:
-    """Bidirectional-ring all-reduce: 2*B*(tp-1)/tp over ring bw + hop lat."""
-    if tp == 1:
-        return 0.0
-    return 2 * nbytes * (tp - 1) / tp / ICI_RING_BW + (tp - 1) * ICI_HOP_LAT
-
-
-def ring_ag_time(nbytes: float, tp: int) -> float:
-    if tp == 1:
-        return 0.0
-    return nbytes * (tp - 1) / tp / ICI_RING_BW + (tp - 1) * ICI_HOP_LAT
-
-
 def model_tp(tp: int, bs: int, ctx: int, size: str, steps: int = 8,
              compile_check: bool = True):
     from bench import QWEN3_SIZES
     mc = QWEN3_SIZES[size]
-    L, H = mc.num_hidden_layers, mc.hidden_size
-    hq, hkv, d = (mc.num_attention_heads, mc.num_key_value_heads, mc.head_dim)
-    inter, vocab = mc.intermediate_size, mc.vocab_size
 
-    # ---- analytic per-chip per-decode-step costs (matches bench.py MFU
-    # arithmetic; weights bf16, KV int8 — the program bench.py --tp without
-    # --quant dispatches) ----
-    mm_params = L * (H * (hq + 2 * hkv) * d + hq * d * H + 3 * H * inter) \
-        + H * vocab
-    flops = (2 * mm_params / tp) * bs + 4 * (hq / tp) * d * ctx * L * bs
-    wbytes = 2 * mm_params / tp
-    kv_stream = 2 * L * (hkv / tp) * d * ctx * bs  # int8 = 1 B/elt
-    kv_stream *= 1.0 + 4.0 / 128                   # fp32 scale per 128-row
-    act_bytes = 12 * bs * H * L / tp               # residual/qkv/mlp traffic
-    hbm = wbytes + kv_stream + act_bytes
-
-    # ---- collectives: 2 ARs/layer (o_proj, down_proj partial sums) + 1
-    # embedding AR + the fused sampler's winner all-gathers, every step ----
-    layer_ar = bs * H * 2          # bf16 [bs, H]
-    coll_s = (2 * L + 1) * ring_ar_time(layer_ar, tp) \
-        + 2 * ring_ag_time(bs * 4 * tp, tp)
-    coll_detail = {"all-reduce": {"count": 2 * L + 1,
-                                  "MiB": round((2 * L + 1) * layer_ar / 2**20,
-                                               3),
-                                  "ms": round((2 * L + 1) * ring_ar_time(
+    # Analytic per-chip per-decode-step costs: nanovllm_tpu/parallel/scaling
+    # (bf16 weights + int8 KV — the program bench.py --tp without --quant
+    # dispatches; same arithmetic as bench.py's MFU accounting).
+    core = model_decode_step(mc, tp, bs, ctx)
+    layer_ar = core["ar_bytes"]
+    coll_detail = {"all-reduce": {"count": core["ar_count"],
+                                  "MiB": round(core["ar_count"] * layer_ar
+                                               / 2**20, 3),
+                                  "ms": round(core["ar_count"] * ring_ar_time(
                                       layer_ar, tp) * 1e3, 3)}}
 
     # ---- verify the collective pattern against the real compiled HLO ----
@@ -159,20 +130,11 @@ def model_tp(tp: int, bs: int, ctx: int, size: str, steps: int = 8,
             "compile_s": round(dt, 1),
         }
 
-    compute_s = flops / PEAK_FLOPS
-    hbm_s = hbm / HBM_BW
-    step_s = max(compute_s, hbm_s) + coll_s
-    return {
-        "tp": tp, "flops_per_chip_per_step": flops,
-        "hbm_bytes_per_chip_per_step": hbm,
-        "compute_ms": round(compute_s * 1e3, 3),
-        "hbm_ms": round(hbm_s * 1e3, 3),
-        "collective_ms": round(coll_s * 1e3, 3),
-        "collectives": coll_detail,
-        "step_ms": round(step_s * 1e3, 3),
-        "toks_per_s": round(bs / step_s, 1),
-        "hlo_verify": verified,
-    }
+    out = dict(core)
+    del out["ar_count"], out["ar_bytes"]
+    out["collectives"] = coll_detail
+    out["hlo_verify"] = verified
+    return out
 
 
 def main():
