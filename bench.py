@@ -133,6 +133,22 @@ def main():
         extra["fused_sampler"] = False
     if args.no_defer_prefill:
         extra["defer_prefill_fetch"] = False
+    if args.tp > 1 and not args.model:
+        # North-star gate: warn when the requested (model, tp) cell is
+        # modeled below 85% tokens/s/chip efficiency (ICI-latency-bound
+        # small-model cells; see README scaling table + parallel/scaling.py).
+        from nanovllm_tpu.parallel.scaling import (EFFICIENCY_BAR,
+                                                   modeled_efficiency)
+        eff = modeled_efficiency(QWEN3_SIZES[args.model_size], args.tp,
+                                 args.num_seqs,
+                                 args.input_len + args.output_len // 2)
+        if eff < EFFICIENCY_BAR:
+            print(f"WARNING: Qwen3-{args.model_size} at tp={args.tp} "
+                  f"bs={args.num_seqs} is modeled at {100*eff:.1f}% "
+                  f"tokens/s/chip efficiency — below the {EFFICIENCY_BAR:.0%} "
+                  f"bar (57+ per-step all-reduce latencies vs sub-ms/chip "
+                  f"compute). Prefer a smaller tp or a larger batch/model "
+                  f"for this cell.", flush=True)
     print(f"bench config: model={args.model or f'random-{args.model_size}'} "
           f"backend={args.attn_backend} quant={args.quant} "
           f"kv_cache_dtype={args.kv_cache_dtype} "

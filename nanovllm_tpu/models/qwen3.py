@@ -87,11 +87,15 @@ def forward_hidden(params, cfg: ModelConfig, kv_cache, meta, attn_fn):
     over vocab tiles (ops/sampler.fused_sample) instead of materializing
     [S, V] fp32 logits.
 
-    kv_cache: [L, 2, Hkv, num_slots, D], threaded whole through the layer
-    scan carry; every update is a scatter at (layer, slots) that XLA performs
-    in place on the donated buffer. The cache is never sliced by layer — a
-    slice/update-slice pair would materialize a full layer copy per layer per
-    step (measured: it turns decode into an HBM-bandwidth cache memcpy).
+    kv_cache: the flat 2-D {"data", "scales"} dict of ops/kv_cache.py
+    (data rows indexed by (layer, page, k|v, offset)), threaded WHOLE
+    through the layer scan carry; each layer's writes hit its own row range
+    of the donated buffers in place (leading-dim row scatters in the XLA
+    backend, in-kernel DMAs in the Pallas backend). The cache is never
+    sliced per layer — a slice/update-slice pair on a stacked layout
+    materialized a full layer copy per layer per step (measured: it turns
+    decode into an HBM-bandwidth cache memcpy), which is why the layout is
+    flat with the layer folded into the row index.
     """
     from nanovllm_tpu.ops.quant import embed_lookup
     x = embed_lookup(params["embed"], meta.input_ids,

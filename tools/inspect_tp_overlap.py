@@ -66,6 +66,19 @@ def build_compiled(tp: int, bs: int, steps: int, size: str,
         # Size is irrelevant to the schedule, but the compile's memory-fit
         # pass is real: 4x only fits when the cache is sharded over tp>=2.
         num_pages = (4 if tp > 1 else 1) * bs * cfg.pages_per_seq + 64
+        # ...and the fit must hold for BIGGER models too: cap the planned
+        # per-chip cache at (13 GiB - bf16 weight shard) so 1.7B/4B/8B
+        # shapes compile against the 16 GiB topology (temps take the rest).
+        h, i2 = mc.hidden_size, mc.intermediate_size
+        wparams = (mc.num_hidden_layers * (
+            h * (mc.num_attention_heads + 2 * mc.num_key_value_heads)
+            * mc.head_dim + mc.num_attention_heads * mc.head_dim * h
+            + 3 * h * i2) + h * mc.vocab_size
+            * (1 if mc.tie_word_embeddings else 2))
+        per_page = (mc.num_hidden_layers * 2 * cfg.kvcache_block_size
+                    * mc.num_key_value_heads * mc.head_dim * 1.04)
+        cap = int(max(13 * 2**30 - 2 * wparams / tp, 2**30) * tp / per_page)
+        num_pages = min(num_pages, max(cap, 96))
     r.num_slots = num_pages * cfg.kvcache_block_size
 
     shard = lambda tree, shardings: jax.tree.map(
