@@ -48,8 +48,13 @@ def timeit_chained(fn, q, *args, iters=20, **kw):
 
 def bench_decode(bs, ctx, hq=16, hkv=8, d=128, page_size=128,
                  dtype=jnp.bfloat16, page_order="rand", int8_dots=False,
-                 ppc=0, spare_pages=0, kv_bits=8, planes_dots=True):
-    pps = -(-ctx // page_size)
+                 ppc=0, spare_pages=0, kv_bits=8, planes_dots=True,
+                 pages_per_seq=0):
+    """pages_per_seq widens the block table past ceil(ctx/ps) — the ENGINE
+    dispatches with the full max_model_len-wide table (e.g. 32 pages at
+    4096/128), which changes the auto chunk balancing; pass it to mirror a
+    production shape exactly."""
+    pps = max(-(-ctx // page_size), pages_per_seq)
     num_pages = bs * pps + 1 + spare_pages
     num_slots = num_pages * page_size
     key = jax.random.PRNGKey(0)
@@ -243,6 +248,9 @@ def main():
     p.add_argument("--int4-concat", action="store_true",
                    help="INT4 concat-then-one-dot chunk form (A/B vs the "
                         "default per-plane dots)")
+    p.add_argument("--pages-per-seq", type=int, default=0,
+                   help="block-table width override (engine shapes use "
+                        "max_model_len/page_size, wider than ceil(ctx/ps))")
     p.add_argument("--spare-pages", type=int, default=0,
                    help="extra never-read pages: detects per-iteration cache "
                         "copies in the timing harness (time must not grow)")
@@ -275,7 +283,8 @@ def main():
                                         ppc=args.ppc,
                                         spare_pages=args.spare_pages,
                                         kv_bits=kv_bits,
-                                        planes_dots=not args.int4_concat)
+                                        planes_dots=not args.int4_concat,
+                                        pages_per_seq=args.pages_per_seq)
                 print(f"page={page:<4d} bs={bs:<4d} ctx={ctx:<6d} "
                       f"{dt*1e6:9.1f} us  {gbps:7.1f} GB/s KV-read",
                       flush=True)

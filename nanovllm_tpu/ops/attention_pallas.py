@@ -242,22 +242,27 @@ def _decode_chunk_update(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, mask,
     return (m_next, l_next, acc * alpha + o)
 
 
-def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
-                         scale, ppc, ps, rpp, d, dot_dtype):
-    """Token-plane INT4 variant of _decode_chunk_update: every dot consumes
-    an extracted plane DIRECTLY, so the unpacked [chunk, Hkv*D] bf16 array
-    is never materialized (the concat-then-one-dot form spent more VPU time
-    copying than the halved HBM traffic saved — measured 444 us vs int8's
-    265 us at bs=64/ctx=1536; dropping the concat keeps only the 2-shift
-    plane extract + convert, and MXU pass count is unchanged at the default
-    1024-token chunk: 8 plane dots of [.., chunk/8] ≡ 1 dot of [.., chunk]).
+def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, k_packed, v_packed,
+                         s_slot, rem, scale, ppc, ps, rpp, d, dot_dtype):
+    """Token-plane INT4 variant of _decode_chunk_update over one GROUP of
+    `ppc` pages (the caller splits a streamed chunk into <=8-page groups
+    and lax.cond-skips groups wholly above the live context): every dot
+    consumes an extracted plane DIRECTLY, so the unpacked [chunk, Hkv*D]
+    bf16 array is never materialized (the concat-then-one-dot form spent
+    more VPU time copying than the halved HBM traffic saved — measured 444
+    us vs int8's 265 us at bs=64/ctx=1536; dropping the concat keeps only
+    the 2-shift plane extract + convert, and MXU pass count is unchanged:
+    8 plane dots of [.., chunk/8] ≡ 1 dot of [.., chunk]).
 
-    Scores build in CHUNK-PLANE-MAJOR order (piece r = tokens ≡ r mod 8
-    across the whole chunk, lanes [r*chunk/8, ...)); the per-page selector
-    outputs are re-sliced into that order ([2Hq, prows] sub-lane slices —
-    tiny, [32, 16] each). rem = ctx - chunk_base: piece r's mask is just
-    8*j + r < rem, a [1, chunk/8] iota compare. `quantized` is implied
-    (int4 always carries scale blocks).
+    k_packed/v_packed: [ppc*prows, W] int32 group rows; s_slot:
+    [RPP, ppc*ps] lane-major group scale window.
+
+    Scores build in GROUP-PLANE-MAJOR order (piece r = tokens ≡ r mod 8
+    across the group, lanes [r*rows/8, ...)); the selector dot's output
+    lanes are (page, plane-permuted in-page token), re-sliced per piece
+    ([2Hq, prows] sub-lane slices — tiny, [32, 16] each). rem = ctx -
+    group_base: piece r's mask is just 8*j + r < rem, a [1, rows] iota
+    compare. `quantized` is implied (int4 always carries scale blocks).
 
     int8 MXU dots (q_bd int8): the planes extract to int8 (nibbles [-7,7]
     fit exactly) and every dot runs on the MXU's 2x-rate int8 path — the
@@ -267,21 +272,18 @@ def _decode_chunk_planes(carry, q_bd, sel_k, sel_v, kv_slot, s_slot, rem,
     probs are absmax-int8 per row per plane piece (each plane dot rescales
     its own int32 partial exactly, so per-piece scales compose additively)."""
     m, l, acc = carry
-    chunk = ppc * ps
     prows = ps // TOKENS_PER_I32
     chunk_rows = ppc * prows
     hq = sel_k.shape[0]
     int8_dots = q_bd.dtype == jnp.int8
     plane_dt = jnp.int8 if int8_dots else dot_dtype
-    k_packed = kv_slot[:chunk_rows]
-    v_packed = kv_slot[chunk_rows:2 * chunk_rows]
     sel_kv = jnp.concatenate([sel_k, sel_v], axis=0)
-    # ONE selector dot for the whole chunk (lane-major scale buffer); its
-    # lanes are (page, plane-permuted in-page token) — per-piece re-slicing
-    # below picks plane r's 16-lane window out of each page.
+    # ONE selector dot for the group (lane-major scale buffer); its lanes
+    # are (page, plane-permuted in-page token) — per-piece re-slicing below
+    # picks plane r's 16-lane window out of each page.
     skv = lax.dot_general(
         sel_kv, s_slot, dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)              # [2Hq, chunk]
+        preferred_element_type=jnp.float32)              # [2Hq, group]
     jiota = lax.broadcasted_iota(jnp.int32, (1, chunk_rows), 1)
     s_pieces, vs_pieces = [], []
     for r in range(TOKENS_PER_I32):
@@ -623,15 +625,34 @@ def _decode_kernel(
             def _():
                 c.wait()
 
+        # Sub-chunk GROUPS (token-plane path): compute in <=8-page groups
+        # and skip groups wholly above the live context. Engine dispatches
+        # carry the full max_model_len-wide block table, so the last chunk
+        # usually holds dead pages whose plane-extract + dots would
+        # otherwise run anyway (engine-shaped bench: 314 vs 234 us at
+        # ctx=1536 under a 16-page chunk — the dead quarter is pure waste).
+        # Group = 1024 tokens (128 aligned rows at ps=128); chunks that
+        # don't split evenly stay whole (a 12-page tight-table chunk is
+        # already fully live — groups would only add per-group cost).
+        gtok = max(1024 // ps, 1)
+        gp = gtok if (int4 and planes_dots and ppc % gtok == 0
+                      and ppc > gtok) else ppc
+        n_groups = ppc // gp
+        rem_chunk = ctx - ci * chunk
+
         # Pages predicated off (past ceil(ctx/ps)) leave stale VMEM. Their
         # score lanes are masked (so K garbage is harmless), but the V dot
         # multiplies p=0 against the buffer — 0 * NaN = NaN — so zero the V
         # region (and the scale block: its NaN would ride into p via the
         # selector dot before the mask). Only a sequence's LAST chunk ever
-        # takes these branches.
+        # takes these branches; pages in fully-skipped groups need no
+        # zeroing (their group's compute never runs).
         n_need = lax.div(ctx + ps - 1, ps)
         for i in range(ppc):
-            @pl.when(ci * ppc + i >= n_need)
+            dead = ci * ppc + i >= n_need
+            if n_groups > 1:
+                dead &= rem_chunk > (i // gp) * gp * ps
+            @pl.when(dead)
             def _():
                 kv_buf[slot_buf, pl.ds(chunk_rows + i * prows, prows), :] = \
                     jnp.zeros((prows, kv_buf.shape[2]), kv_buf.dtype)
@@ -646,9 +667,19 @@ def _decode_kernel(
         def _():
             merge_new_token(slot_buf)
         if int4 and planes_dots:
-            carry = _decode_chunk_planes(
-                carry, q_bd, sel_k, sel_v, kv_buf[slot_buf], s_buf[slot_buf],
-                ctx - ci * chunk, scale, ppc, page_size, rpp, d, dot_dtype)
+            gsize = gp * prows
+            for g in range(n_groups):
+                def upd(c, g=g):
+                    return _decode_chunk_planes(
+                        c, q_bd, sel_k, sel_v,
+                        kv_buf[slot_buf, pl.ds(g * gsize, gsize), :],
+                        kv_buf[slot_buf,
+                               pl.ds(chunk_rows + g * gsize, gsize), :],
+                        s_buf[slot_buf, :, pl.ds(g * gp * ps, gp * ps)],
+                        rem_chunk - g * gp * ps, scale, gp, page_size, rpp,
+                        d, dot_dtype)
+                carry = upd(carry) if g == 0 else lax.cond(
+                    rem_chunk > g * gp * ps, upd, lambda c: c, carry)
         else:
             w = lax.broadcasted_iota(jnp.int32, (hq, chunk), 1)
             tok = _plane_pos(w, prows, ps) if int4 else w

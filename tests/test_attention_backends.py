@@ -431,3 +431,60 @@ def test_int4_prefill_matches_dense_within_noise():
     err = np.abs(np.asarray(out).reshape(t, hkv, hq // hkv, d)
                  - np.asarray(ref)).max()
     assert err < 0.35, f"int4 prefill error too large: {err}"
+
+
+def test_int4_decode_wide_table_group_skip():
+    """ENGINE-shaped dispatch: a 32-page block table (max_model_len wide)
+    puts the int4 decode kernel at ppc=16 with sub-chunk GROUP predication
+    (<=8-page groups, dead groups lax.cond-skipped). Mixed per-seq contexts
+    hit every branch: ctx=900 skips chunk 1's second group, 1400 runs both,
+    2100 takes two chunks with the second chunk's second group skipped.
+    Output must stay within int4 noise of the fp32 cache run (which takes
+    the ungrouped bf16/f32 path), proving skipped groups carry no live
+    tokens and live groups mask exactly."""
+    s_, hq, hkv, d, page_size, pps = 3, 4, 2, 128, 128, 32
+    ctxs = [900, 1400, 2100]
+    num_pages = s_ * pps + 1
+    num_slots = num_pages * page_size
+    key = jax.random.PRNGKey(9)
+    kq, kk, kv_, kn = jax.random.split(key, 4)
+    q = jax.random.normal(kq, (s_, hq, d), jnp.float32)
+    rng = np.random.default_rng(9)
+    tables = jnp.asarray(rng.permutation(num_pages - 1)[: s_ * pps].reshape(
+        s_, pps).astype(np.int32) + 1)
+
+    caches = {
+        "f32": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.float32),
+        "int4": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.int8,
+                                kv_bits=4),
+    }
+    slots, ks, vs = [], [], []
+    for si, ctx in enumerate(ctxs):
+        pos = np.arange(ctx - 1)
+        slots.append(np.asarray(tables[si])[pos // page_size] * page_size
+                     + pos % page_size)
+        ks.append(jax.random.normal(kk, (ctx - 1, hkv, d), jnp.float32))
+        vs.append(jax.random.normal(kv_, (ctx - 1, hkv, d), jnp.float32))
+    slots = jnp.asarray(np.concatenate(slots).astype(np.int32))
+    k_prefix = jnp.concatenate(ks)
+    v_prefix = jnp.concatenate(vs)
+    for name in caches:
+        caches[name] = write_kv(caches[name], 0, k_prefix, v_prefix,
+                                slots, num_slots, 1, page_size)
+
+    k_new = jax.random.normal(kn, (s_, hkv, d), jnp.float32)
+    context_lens = jnp.asarray(ctxs, jnp.int32)
+    step_slots = jnp.asarray(np.array(
+        [slot_of(np.asarray(tables), si, ctx - 1, page_size)
+         for si, ctx in enumerate(ctxs)], np.int32))
+
+    outs = {}
+    for name, cache in caches.items():
+        out, _ = run_decode(
+            q, k_new, k_new, cache, 0, context_lens, tables, step_slots,
+            scale=d ** -0.5, page_size=page_size, num_slots=num_slots,
+            num_layers=1)
+        outs[name] = np.asarray(out)
+    err = np.abs(outs["int4"] - outs["f32"]).max()
+    assert err < 0.35, f"wide-table int4 decode error too large: {err}"
+    assert not np.allclose(outs["int4"], 0)
