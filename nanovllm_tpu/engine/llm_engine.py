@@ -141,7 +141,11 @@ class LLMEngine:
             # stalling the pipeline (the flush-only policy deferred every
             # TTFT to the end of the whole prefill phase: p50 909 ms at
             # 64x1024, BENCH_r04).
-            if len(self._pending_prefill) > 1:
+            # NANOVLLM_FLUSH_ONLY=1 restores the round-4 flush-at-phase-end
+            # policy (throughput A/B knob for the one-behind redemption).
+            import os
+            if len(self._pending_prefill) > 1 and \
+                    not os.environ.get("NANOVLLM_FLUSH_ONLY"):
                 flushed += self._redeem_oldest()
             return flushed, stats
         token_lists = self.model_runner.run(seqs, stats.is_prefill,
