@@ -337,6 +337,18 @@ def test_deferred_prefill_fetch_matches_eager_fetch():
     for i, (x, y) in enumerate(zip(a, b)):
         assert x["token_ids"] == y["token_ids"], i
         assert len(x["token_ids"]) == sps[i].max_tokens
+    # The flush-only A/B knob (NANOVLLM_FLUSH_ONLY=1 skips the one-behind
+    # redemption) must not change outputs either.
+    import os
+    os.environ["NANOVLLM_FLUSH_ONLY"] = "1"
+    try:
+        c = make_llm(max_num_batched_tokens=128, max_model_len=128,
+                     defer_prefill_fetch=True).generate(prompts, sps,
+                                                        use_tqdm=False)
+    finally:
+        del os.environ["NANOVLLM_FLUSH_ONLY"]
+    for i, (x, y) in enumerate(zip(a, c)):
+        assert x["token_ids"] == y["token_ids"], i
 
 
 def test_deferred_prefill_all_single_token():
