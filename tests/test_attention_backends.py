@@ -488,3 +488,65 @@ def test_int4_decode_wide_table_group_skip():
     err = np.abs(outs["int4"] - outs["f32"]).max()
     assert err < 0.35, f"wide-table int4 decode error too large: {err}"
     assert not np.allclose(outs["int4"], 0)
+
+
+def test_int4_decode_concat_form_matches_planes():
+    """The concat-then-one-dot INT4 chunk form (planes_dots=False, the A/B
+    knob config.int4_planes_dots) shares the lane-major scale buffer with
+    the planes path since round 5 — both forms must match the fp32 run
+    within int4 noise and each other closely (same quantized values, same
+    scale folds; only dot grouping differs)."""
+    s_, hq, hkv, d, page_size, pps = 2, 4, 2, 128, 128, 3
+    num_pages = s_ * pps + 1
+    num_slots = num_pages * page_size
+    key = jax.random.PRNGKey(5)
+    kq, kk, kv_, kn = jax.random.split(key, 4)
+    ctx = 300
+    q = jax.random.normal(kq, (s_, hq, d), jnp.float32)
+    rng = np.random.default_rng(5)
+    tables = jnp.asarray(rng.permutation(num_pages - 1)[: s_ * pps].reshape(
+        s_, pps).astype(np.int32) + 1)
+    caches = {
+        "f32": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.float32),
+        "p": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.int8,
+                             kv_bits=4),
+        "c": create_kv_cache(1, hkv, num_pages, page_size, d, jnp.int8,
+                             kv_bits=4),
+    }
+    pos = np.arange(ctx - 1)
+    slots = np.concatenate([
+        np.asarray(tables[si])[pos // page_size] * page_size
+        + pos % page_size for si in range(s_)]).astype(np.int32)
+    kp_ = jax.random.normal(kk, (s_ * (ctx - 1), hkv, d), jnp.float32)
+    vp_ = jax.random.normal(kv_, (s_ * (ctx - 1), hkv, d), jnp.float32)
+    for name in caches:
+        caches[name] = write_kv(caches[name], 0, kp_, vp_,
+                                jnp.asarray(slots), num_slots, 1, page_size)
+    k_new = jax.random.normal(kn, (s_, hkv, d), jnp.float32)
+    ctxs = jnp.full((s_,), ctx, jnp.int32)
+    step_slots = jnp.asarray(np.array(
+        [slot_of(np.asarray(tables), si, ctx - 1, page_size)
+         for si in range(s_)], np.int32))
+
+    def go(cache, planes):
+        kr, vr, cols = quantize_kv_rows(k_new, k_new, 4) \
+            if data_kv_bits(cache["data"]) else (None, None, None)
+        if kr is None:
+            kr = k_new.reshape(s_, hkv * d).astype(cache["data"].dtype)
+            vr = kr
+            cols = jnp.ones((s_, 1), jnp.float32)
+        out, _, _ = paged_decode_attention(
+            q, kr, vr, cols, cache["data"], cache["scales"], 0, ctxs,
+            tables, step_slots, scale=d ** -0.5, page_size=page_size,
+            num_slots=num_slots, num_layers=1,
+            kv_bits=data_kv_bits(cache["data"]) or 8, planes_dots=planes,
+            interpret=True)
+        return np.asarray(out)
+
+    o_f32 = go(caches["f32"], True)
+    o_planes = go(caches["p"], True)
+    o_concat = go(caches["c"], False)
+    assert np.abs(o_planes - o_f32).max() < 0.35
+    assert np.abs(o_concat - o_f32).max() < 0.35
+    assert np.abs(o_concat - o_planes).max() < 0.05, \
+        np.abs(o_concat - o_planes).max()
